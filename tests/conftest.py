@@ -1,0 +1,30 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's "no accelerator needed for schedule logic" property
+(ecad has no test suite at all; see SURVEY.md §4) while letting us exercise
+multi-chip sharding paths without TPU hardware.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_root() -> pathlib.Path:
+    """Path to the upstream reference checkout (golden-file tests only)."""
+    if not REFERENCE_ROOT.exists():
+        pytest.skip("reference checkout not available")
+    return REFERENCE_ROOT
