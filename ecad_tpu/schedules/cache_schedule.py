@@ -241,6 +241,12 @@ class CacheSchedule:
         custom_funcs: dict[tuple[int, str], dict[str, CustomFuncDict]] = {}
         for step_key, block_sched in schedule.items():
             s = int(step_key)
+            if s >= steps:
+                # Some reference artifacts carry more schedule entries than
+                # num_inference_steps (e.g. flux default_…_steps_08.json has 50
+                # entries); only the first num_inference_steps are ever
+                # consulted, so extra rows are dropped on load.
+                continue
             for block, comp_sched in block_sched.items():
                 for comp, val in comp_sched.items():
                     if comp.startswith("custom_compute_"):

@@ -1,0 +1,150 @@
+"""Analytic MACs model must reproduce the reference's calflops measurements
+bit-for-bit for every schedule JSON that carries by_inference_step metrics."""
+
+import json
+import pathlib
+
+import pytest
+
+from ecad_tpu.macs import (
+    compute_schedule_metrics,
+    flux_cost_table,
+    pixart_cost_table,
+    table_for_schedule,
+)
+from ecad_tpu.schedules import FluxCacheSchedule, PixArtCacheSchedule
+
+
+def _iter_metric_files(reference_root, flux: bool):
+    root = reference_root / "schedules"
+    for p in sorted(root.rglob("*.json")):
+        try:
+            d = json.loads(p.read_text())
+        except Exception:
+            continue
+        cs = d.get("cache_schedule")
+        if not cs or (("num_single_blocks" in cs) != flux):
+            continue
+        if not d.get("metrics", {}).get("by_inference_step"):
+            continue
+        yield p, d
+
+
+def _exact_check(schedule, data, path):
+    got = compute_schedule_metrics(schedule)
+    want = data["metrics"]
+    # MACs — the NSGA-II objective — must be bit-exact everywhere.
+    assert got["total_macs"] == want["total_macs"], (
+        f"{path.name}: total_macs {got['total_macs']} != {want['total_macs']}"
+    )
+    if "total_macs_T" in want:
+        assert got["total_macs_T"] == pytest.approx(
+            want["total_macs_T"], abs=1e-9
+        )
+    # FLOPs: exact except on TGATE half-batch steps, where the reference's
+    # own runs disagree with each other by +3/step (90 of 200 expanded-tgate
+    # files differ from the rest in identical step states) — profiler
+    # nondeterminism we don't model.
+    is_tgate = (
+        (schedule.top_level_config or {}).get("pipeline", {}) or {}
+    ).get("name") == "tgate"
+    flops_tol = 3 if is_tgate else 0
+    for step, vals in want["by_inference_step"].items():
+        g = got["by_inference_step"][step]
+        assert g["macs"] == vals["macs"], (
+            f"{path.name} step {step}: macs {g['macs']} != {vals['macs']}"
+        )
+        assert abs(g["flops"] - vals["flops"]) <= flops_tol, (
+            f"{path.name} step {step}: flops {g['flops']} != {vals['flops']}"
+        )
+
+
+def test_pixart_macs_exact_everywhere(reference_root):
+    n = 0
+    skipped_1024_weight_confusion = 0
+    for p, d in _iter_metric_files(reference_root, flux=False):
+        s = PixArtCacheSchedule.from_dict(d)
+        # Seed-population candidates inherited a 1024 transformer_weights
+        # config from their generator but were measured at 256 — detect by
+        # directory (they live under *_256x256 population dirs).
+        if "256x256" in str(p) and "1024" in (
+            s.top_level_config.get("transformer_weights", "")
+        ):
+            s.top_level_config = {
+                k: v
+                for k, v in s.top_level_config.items()
+                if k not in ("transformer_weights", "height", "width")
+            }
+            skipped_1024_weight_confusion += 1
+        _exact_check(s, d, p)
+        n += 1
+    assert n > 1000, f"only {n} pixart files checked"
+    assert skipped_1024_weight_confusion > 0
+
+
+def test_flux_macs_exact_everywhere(reference_root):
+    n = 0
+    for p, d in _iter_metric_files(reference_root, flux=True):
+        s = FluxCacheSchedule.from_dict(d)
+        _exact_check(s, d, p)
+        n += 1
+    assert n > 30, f"only {n} flux files checked"
+
+
+def test_headline_totals(reference_root):
+    # BASELINE.md rows: ours_fast 2.134989471744 T, flux ours_fast 63.02 T
+    s = PixArtCacheSchedule.from_json(
+        reference_root
+        / "schedules/schedules_in_paper/pixart_alpha_256/ours_fast.json"
+    )
+    m = compute_schedule_metrics(s)
+    assert m["total_macs_T"] == pytest.approx(2.134989471744, abs=1e-12)
+
+    f = FluxCacheSchedule.from_json(
+        reference_root / "schedules/schedules_in_paper/flux_256/ours_fast.json"
+    )
+    mf = compute_schedule_metrics(f)
+    assert mf["total_macs_T"] == pytest.approx(63.0233, abs=1e-3)
+
+
+def test_default_uncached_totals():
+    # PixArt-α 256 uncached: 28 blocks fully recomputed for 20 steps
+    s = PixArtCacheSchedule.default()
+    m = compute_schedule_metrics(s)
+    assert m["total_macs"] == 20 * 285_689_806_848
+    # PixArt 1024
+    s1024 = PixArtCacheSchedule.default(name="default_1024x1024")
+    s1024.top_level_config = {
+        "transformer_weights": "PixArt-alpha/PixArt-XL-2-1024-MS"
+    }
+    m1024 = compute_schedule_metrics(s1024)
+    assert m1024["total_macs_T"] == pytest.approx(85.6288, abs=1e-3)
+    # FLUX 256 uncached ≈ 198.69 T
+    fx = FluxCacheSchedule.default()
+    mfx = compute_schedule_metrics(fx)
+    assert mfx["total_macs_T"] == pytest.approx(198.69, abs=0.01)
+
+
+def test_step0_forcing():
+    import numpy as np
+
+    s = PixArtCacheSchedule.default()
+    m_all = compute_schedule_metrics(s)
+    mask = np.array(s.mask)
+    mask[0] = False  # fully cached step 0 — must still cost full recompute
+    s0 = PixArtCacheSchedule(28, 20, mask=mask)
+    m0 = compute_schedule_metrics(s0)
+    assert (
+        m0["by_inference_step"]["000"] == m_all["by_inference_step"]["000"]
+    )
+
+
+def test_tgate_half_batch(reference_root):
+    p = sorted(
+        (reference_root / "schedules/alpha_cache_schedules/gen_tgate").glob(
+            "*.json"
+        )
+    )[0]
+    d = json.loads(p.read_text())
+    s = PixArtCacheSchedule.from_dict(d)
+    _exact_check(s, d, p)
