@@ -1,0 +1,135 @@
+"""Headline benchmark: PixArt-α 256 cached vs uncached images/sec on one chip.
+
+Mirrors the reference's latency protocol (ecad/benchmark/compute_latency.py:
+warmup runs then timed sample batches of the full 20-step denoise) on the
+paper's flagship schedule `ours_fast` (metrics: 2.135 TMACs vs 5.714 uncached;
+84.09 ms vs 165.74 ms on the reference's RTX A6000 → 1.971× wall-clock).
+
+Prints ONE JSON line:
+  metric  pixart_alpha_256 cached-vs-uncached wall-clock speedup
+  value   our speedup on this chip
+  vs_baseline  value / 1.971  (≥1.0 means we extract more real speedup from
+               the same schedule than the reference's CUDA stack)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REF_SPEEDUP = 165.74 / 84.09  # reference wall-clock speedup for ours_fast
+BATCH = 32
+WARMUP = 2
+SAMPLES = 5
+
+_scalar_sum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+
+def sync(x) -> float:
+    """Force full execution of everything queued before/with x.
+
+    block_until_ready is a no-op on the tunneled TPU backend, so we fetch a
+    scalar reduction — the 4-byte transfer completes only after the device
+    has drained its (serialized) execution queue."""
+    return float(_scalar_sum(x))
+OURS_FAST = (
+    "/root/reference/schedules/schedules_in_paper/pixart_alpha_256/ours_fast.json"
+)
+
+
+def load_schedule():
+    import pathlib
+
+    from ecad_tpu.schedules import PixArtCacheSchedule
+    from ecad_tpu.schedules.generators import pixart_cache
+
+    p = pathlib.Path(OURS_FAST)
+    if p.exists():
+        return PixArtCacheSchedule.from_json(p)
+    # fallback: FORA-style recompute-every-2 (2.88 TMACs) if the reference
+    # checkout is not mounted
+    for s in pixart_cache.gen_recompute_all_every_n(28, 20):
+        if s.name == "recompute_all_every_002":
+            return s
+    raise RuntimeError("no schedule available")
+
+
+def time_denoise(pipe, params, text, neg, noise) -> float:
+    """Per-run wall clock via pipelined dispatch: T(k runs) − T(1 run) over
+    (k−1) cancels both the host→device RTT and dispatch overhead."""
+    fn = pipe.build_denoise_fn(donate=False)
+    for _ in range(WARMUP):
+        sync(fn(params, noise, text, neg, None, None))
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = fn(params, noise, text, neg, None, None)
+        sync(out)
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(2))
+    tk = min(run(1 + SAMPLES) for _ in range(2))
+    return (tk - t1) / SAMPLES
+
+
+def main() -> None:
+    from ecad_tpu.models import PixArtConfig, init_params
+    from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
+    from ecad_tpu.schedules import PixArtCacheSchedule
+
+    config = PixArtConfig()
+    _, params = init_params(config, 0)
+    pcfg = PixArtPipelineConfig(model=config)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    text = jax.random.normal(
+        k1, (BATCH, config.text_len, config.caption_dim)
+    ).astype(config.dtype)
+    neg = jax.random.normal(
+        k2, (BATCH, config.text_len, config.caption_dim)
+    ).astype(config.dtype)
+    noise = jax.random.normal(
+        k3, (BATCH, config.sample_size, config.sample_size, config.in_channels)
+    ).astype(config.dtype)
+
+    uncached = PixArtPipeline(pcfg, params, PixArtCacheSchedule.default())
+    t_uncached = time_denoise(uncached, params, text, neg, noise)
+
+    cached = PixArtPipeline(pcfg, params, load_schedule())
+    t_cached = time_denoise(cached, params, text, neg, noise)
+
+    speedup = t_uncached / t_cached
+    print(
+        json.dumps(
+            {
+                "metric": "pixart_alpha_256_ours_fast_wallclock_speedup",
+                "value": round(speedup, 4),
+                "unit": "x_vs_uncached",
+                "vs_baseline": round(speedup / REF_SPEEDUP, 4),
+                "detail": {
+                    "batch": BATCH,
+                    "uncached_ms_per_image": round(
+                        t_uncached / BATCH * 1e3, 3
+                    ),
+                    "cached_ms_per_image": round(t_cached / BATCH * 1e3, 3),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+from .evaluate import CandidateEvaluator, EvalConfig, latents_to_uint8
+from .nsga2 import NSGA2, crowding_distance, fast_non_dominated_sort
+from .population_io import (
+    FluxPopulationIOManager,
+    PixArtPopulationIOManager,
+    PopulationIOManager,
+)
+
+__all__ = [
+    "NSGA2",
+    "fast_non_dominated_sort",
+    "crowding_distance",
+    "PopulationIOManager",
+    "PixArtPopulationIOManager",
+    "FluxPopulationIOManager",
+    "CandidateEvaluator",
+    "EvalConfig",
+    "latents_to_uint8",
+]

@@ -1,0 +1,150 @@
+"""In-process candidate evaluation — the offline-eval stage of the ECAD loop.
+
+The reference shells out to three subprocesses per generation
+(generate_images.py → score_images.py → compute_macs.py, blocking
+subprocess.run; ecad/genetic/train_nsga2_single_gpu.py:131-158,198-232),
+reloading the model for every candidate (generate_images.py:13-63). Here the
+whole stage runs in-process against ONE resident model:
+
+* compiled step programs are shared across the population via
+  SharedModelStepper (distinct (step, mask) patterns compile once),
+* the (prompt × image) batch axis shards over the mesh's dp axis,
+* MACs come from the analytic model (ecad_tpu.macs) instead of a profiler,
+* the on-disk artifact contract (scores.json per candidate dir, metrics in
+  candidate JSONs) is preserved for resume parity.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.pixart import schedule_step_masks
+from ..pipelines import PixArtPipeline, SharedModelStepper
+from ..scoring import get_scorer
+from .population_io import PopulationIOManager
+
+
+def latents_to_uint8(latents: jax.Array) -> np.ndarray:
+    """Weight-free latent visualization used when no VAE is attached
+    (deterministic; NOT a real decode — supply decode_fn for images)."""
+    x = np.asarray(latents, dtype=np.float32)
+    x = np.clip((x[..., :3] / 4.0 + 0.5), 0, 1)
+    return (x * 255).astype(np.uint8)
+
+
+@dataclass
+class EvalConfig:
+    images_per_prompt: int = 1
+    start_seed: int = 0
+    seed_step: int = 1
+    scorer: str = "mock"
+    batch_size: int = 0  # 0 → all (prompts × images) in one device batch
+
+
+class CandidateEvaluator:
+    """Evaluates every candidate of a generation and writes the score/MACs
+    artifacts the NSGA-II loop consumes."""
+
+    def __init__(
+        self,
+        pipeline: PixArtPipeline,
+        text: jax.Array,  # (P, L, cap) prompt embeddings
+        neg: jax.Array,  # (P, L, cap) negative embeddings
+        prompts: Sequence[str],
+        config: EvalConfig | None = None,
+        prompt_ids: Optional[Sequence[str]] = None,
+        decode_fn: Optional[Callable[[jax.Array], np.ndarray]] = None,
+    ) -> None:
+        self.pipeline = pipeline
+        self.stepper = SharedModelStepper(pipeline)
+        self.text = text
+        self.neg = neg
+        self.prompts = list(prompts)
+        self.prompt_ids = list(prompt_ids) if prompt_ids else None
+        self.config = config or EvalConfig()
+        self.decode_fn = decode_fn or latents_to_uint8
+
+    def _noise_batch(self) -> tuple[jax.Array, jax.Array, jax.Array, list, list]:
+        """Expand prompts × images_per_prompt into one batch with the
+        reference's per-image reseeding (seed = start + i·step;
+        pixart_image_generator.py:314-393)."""
+        c = self.pipeline.config.model
+        n_img = self.config.images_per_prompt
+        p = len(self.prompts)
+        noises, texts, negs, prompts, ids = [], [], [], [], []
+        for i in range(n_img):
+            seed = self.config.start_seed + i * self.config.seed_step
+            key = jax.random.PRNGKey(seed)
+            noise = jax.random.normal(
+                key, (p, c.sample_size, c.sample_size, c.in_channels)
+            ).astype(c.dtype)
+            noises.append(noise)
+            texts.append(self.text)
+            negs.append(self.neg)
+            prompts.extend(self.prompts)
+            ids.extend(
+                self.prompt_ids
+                if self.prompt_ids
+                else [str(j) for j in range(p)]
+            )
+        return (
+            jnp.concatenate(noises),
+            jnp.concatenate(texts),
+            jnp.concatenate(negs),
+            prompts,
+            ids,
+        )
+
+    def evaluate_candidate(self, schedule) -> tuple[dict, np.ndarray]:
+        masks = schedule_step_masks(schedule, self.pipeline.config.model)
+        noise, text, neg, prompts, ids = self._noise_batch()
+        scorer = get_scorer(self.config.scorer)
+        bs = self.config.batch_size or len(prompts)
+        all_scores: list[dict] = []
+        imgs_all = []
+        for lo in range(0, len(prompts), bs):
+            hi = min(lo + bs, len(prompts))
+            latents = self.stepper.denoise(
+                masks, noise[lo:hi], text[lo:hi], neg[lo:hi]
+            )
+            imgs_all.append(self.decode_fn(latents))
+        images = np.concatenate(imgs_all)
+        return scorer(images, prompts, ids), images
+
+    def evaluate_generation(
+        self,
+        manager: PopulationIOManager,
+        generation: Optional[int] = None,
+        skip_existing: bool = True,
+        verbose: bool = True,
+    ) -> dict[int, dict]:
+        """Run the full offline-eval stage: per-candidate scores.json +
+        analytic MACs written into candidate JSONs."""
+        import json
+
+        results = {}
+        t0 = time.perf_counter()
+        for idx, sched in manager.load_population_schedules(generation):
+            cand_dir = manager.score_dir(generation) / f"cand_{idx:03d}"
+            score_file = cand_dir / "scores.json"
+            if skip_existing and score_file.exists():
+                continue
+            scores, _ = self.evaluate_candidate(sched)
+            cand_dir.mkdir(parents=True, exist_ok=True)
+            with score_file.open("w") as f:
+                json.dump(scores, f, indent=4)
+            results[idx] = scores
+            if verbose:
+                dt = time.perf_counter() - t0
+                print(
+                    f"  cand_{idx:03d}: total_score="
+                    f"{scores['total_score']:.4f} ({dt:.1f}s elapsed)"
+                )
+        manager.compute_macs_for_generation(generation)
+        return results

@@ -1,0 +1,243 @@
+"""train_nsga2 — the ECAD evolutionary-caching optimization loop.
+
+CLI parity with the reference's train_nsga2_single_gpu.py /
+train_nsga2_base.py (~20 flags, ask/tell cycle, resumable generations), with
+the offline-eval stage running in-process on the resident TPU model instead
+of three subprocess invocations per generation (SURVEY.md §3.2). The on-disk
+generation artifacts (candidates/cand_*.json, scores dirs, manager config)
+keep the reference layout so runs are inspectable/resumable identically.
+
+Usage (mini smoke run, mock scorer, random weights):
+  python -m ecad_tpu.genetic.train --name demo --population-size 8 \
+      --num-cycles 2 --random-seed-gen-0 --tiny-model
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from .evaluate import CandidateEvaluator, EvalConfig
+from .nsga2 import NSGA2
+from .population_io import (
+    CHECKPOINT_FILENAME,
+    FluxPopulationIOManager,
+    PixArtPopulationIOManager,
+    PopulationIOManager,
+)
+
+MANAGERS = {
+    "pixart": PixArtPopulationIOManager,
+    "flux": FluxPopulationIOManager,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--name", required=True, help="population name")
+    p.add_argument("--model-family", choices=sorted(MANAGERS), default="pixart")
+    p.add_argument("--populations-dir", type=Path, default=None)
+    p.add_argument("--benchmarks-dir", type=Path, default=None)
+    p.add_argument("--population-size", type=int, default=72)
+    p.add_argument("--num-inference-steps", type=int, default=20)
+    p.add_argument("--min-diff-from-default", type=int, default=1)
+    p.add_argument("--maximize-macs", action="store_true")
+    p.add_argument(
+        "--num-cycles",
+        default="1",
+        help="number of ask/tell cycles, or 'inf' to run until interrupted",
+    )
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="device batch for candidate eval (0 = all at once)")
+    p.add_argument("--images-per-prompt", type=int, default=1)
+    p.add_argument("--start-seed", type=int, default=0)
+    p.add_argument("--seed-step", type=int, default=1)
+    p.add_argument("--scorer", default="mock",
+                   help="scorer registry name (mock | image_reward | clip)")
+    p.add_argument("--num-prompts", type=int, default=4,
+                   help="number of prompt embeddings (random unless "
+                        "--embeddings-dir)")
+    p.add_argument("--embeddings-dir", type=Path, default=None,
+                   help="directory of saved prompt embeddings (.pt/.npz)")
+    p.add_argument("--load-from", type=Path, default=None,
+                   help="resume from a generation's manager_config.json")
+    p.add_argument("--random-seed-gen-0", action="store_true",
+                   help="seed gen 0 randomly without asking (reference asks "
+                        "interactively, train_nsga2_base.py:184-252)")
+    p.add_argument("--tiny-model", action="store_true",
+                   help="2-block test model (random weights) for smoke runs")
+    p.add_argument("--crossover-prob", type=float, default=0.9)
+    p.add_argument("--crossover-points", type=int, default=4)
+    p.add_argument("--mutation-prob", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--print-not-submit", action="store_true",
+                   help="describe the eval work instead of running it")
+    return p
+
+
+def initialize_manager(args) -> PopulationIOManager:
+    cls = MANAGERS[args.model_family]
+    if args.load_from is not None:
+        mgr = cls.from_json(args.load_from)
+        return mgr
+    kwargs = dict(
+        name=args.name,
+        num_inference_steps=args.num_inference_steps,
+        min_diff_from_default=args.min_diff_from_default,
+        population_size=args.population_size,
+        maximize_macs=args.maximize_macs,
+    )
+    if args.populations_dir is not None:
+        kwargs["all_populations_dir"] = args.populations_dir
+    if args.benchmarks_dir is not None:
+        kwargs["all_benchmarks_dir"] = args.benchmarks_dir
+    return cls(**kwargs)
+
+
+def build_evaluator(args, manager) -> CandidateEvaluator:
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import PixArtConfig, init_params
+    from ..pipelines import PixArtPipeline, PixArtPipelineConfig
+
+    if args.model_family != "pixart":
+        raise NotImplementedError(
+            "in-process evaluation currently targets PixArt; FLUX arrives "
+            "with the flux pipeline"
+        )
+    config = (
+        PixArtConfig.tiny(dtype=jnp.float32) if args.tiny_model else PixArtConfig()
+    )
+    _, params = init_params(config, args.seed)
+    pcfg = PixArtPipelineConfig(
+        model=config, num_inference_steps=args.num_inference_steps
+    )
+    pipeline = PixArtPipeline(pcfg, params)
+
+    if args.embeddings_dir is not None:
+        from ..utils.io import load_embedding_dir
+
+        entries = load_embedding_dir(args.embeddings_dir)
+        text = jnp.stack([e["prompt_embeds"] for e in entries]).astype(config.dtype)
+        neg = jnp.stack(
+            [e["negative_prompt_embeds"] for e in entries]
+        ).astype(config.dtype)
+        prompts = [e["name"] for e in entries]
+    else:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed))
+        p = args.num_prompts
+        text = jax.random.normal(
+            k1, (p, config.text_len, config.caption_dim)
+        ).astype(config.dtype)
+        neg = jax.random.normal(
+            k2, (p, config.text_len, config.caption_dim)
+        ).astype(config.dtype)
+        prompts = [f"prompt_{i}" for i in range(p)]
+
+    return CandidateEvaluator(
+        pipeline,
+        text,
+        neg,
+        prompts,
+        EvalConfig(
+            images_per_prompt=args.images_per_prompt,
+            start_seed=args.start_seed,
+            seed_step=args.seed_step,
+            scorer=args.scorer,
+            batch_size=args.batch_size,
+        ),
+    )
+
+
+def init_gen_0(args, manager: PopulationIOManager, algo: NSGA2) -> None:
+    """Load seed candidates from gen_000/candidates if present, else seed
+    randomly (train_nsga2_base.py:184-252; interactive y/N replaced by
+    --random-seed-gen-0)."""
+    seed_dir = manager.candidates_dir(0)
+    seeds = manager.load_population_vectors(0)
+    if len(seeds):
+        print(f"Loaded {len(seeds)} seed candidates from {seed_dir}")
+        X0 = algo.initialize(np.array(seeds, dtype=bool))
+    else:
+        if not args.random_seed_gen_0:
+            resp = input(
+                f"No gen_000 candidates in {seed_dir}. Random-seed? [y/N] "
+            )
+            if resp.strip().lower() != "y":
+                sys.exit(1)
+        X0 = algo.initialize()
+    manager.generation_num = max(manager.generation_num, 1)
+    manager.save_population(X0)
+    manager.save_config()
+
+
+def train_one_cycle(args, manager, algo: NSGA2, evaluator) -> None:
+    if not manager.check_offline_eval():
+        if args.print_not_submit:
+            print(
+                f"[print-not-submit] would evaluate generation "
+                f"{manager.generation_num} "
+                f"({manager.population_size} candidates × "
+                f"{len(evaluator.prompts)} prompts × "
+                f"{evaluator.config.images_per_prompt} images)"
+            )
+            sys.exit(0)
+        print(f"Evaluating generation {manager.generation_num}…")
+        evaluator.evaluate_generation(manager)
+        if not manager.check_offline_eval():
+            raise RuntimeError("offline evaluation incomplete after eval run")
+    X, F, G = manager.ask()
+    algo.tell(X, F, G)
+    next_X = algo.ask()
+    manager.generation_num += 1
+    manager.save_population(next_X)
+    manager.save_config()
+    algo.save(manager.checkpoint_path())
+    print(
+        f"Generation {manager.generation_num} saved "
+        f"({len(next_X)} candidates). Pareto front size: "
+        f"{len(algo.pareto_front()[0])}"
+    )
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    manager = initialize_manager(args)
+
+    ckpt = manager.checkpoint_path()
+    prev_ckpt = (
+        manager.generation_dir(manager.generation_num - 1) / CHECKPOINT_FILENAME
+    )
+    if ckpt.exists():
+        algo = NSGA2.load(ckpt)
+        print(f"Resumed algorithm from {ckpt} (gen {algo.n_gen})")
+    elif prev_ckpt.exists():
+        algo = NSGA2.load(prev_ckpt)
+        print(f"Resumed algorithm from {prev_ckpt} (gen {algo.n_gen})")
+    else:
+        algo = NSGA2(
+            n_var=manager.n_var,
+            pop_size=manager.population_size,
+            crossover_prob=args.crossover_prob,
+            crossover_points=args.crossover_points,
+            mutation_prob=args.mutation_prob,
+            seed=args.seed,
+        )
+    evaluator = build_evaluator(args, manager)
+
+    if algo.X is None and algo.pending is None:
+        init_gen_0(args, manager, algo)
+
+    cycles = float("inf") if args.num_cycles == "inf" else int(args.num_cycles)
+    done = 0
+    while done < cycles:
+        train_one_cycle(args, manager, algo, evaluator)
+        done += 1
+
+
+if __name__ == "__main__":
+    main()

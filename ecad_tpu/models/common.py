@@ -1,0 +1,232 @@
+"""Shared Flax building blocks for the diffusion transformers.
+
+These mirror the semantics of the diffusers modules the reference builds on
+(sinusoidal timestep embeddings, TimestepEmbedding MLPs, PixArt caption
+projection, multi-head attention) but are written TPU-first: NHWC/token-major
+layouts, bfloat16 activations with fp32 norm/softmax accumulation, and
+Megatron-style logical partitioning annotations so the same modules run
+single-chip or tensor-parallel over a mesh axis ("tp") without code changes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# Logical axis names used throughout; mapped to mesh axes in
+# ecad_tpu.parallel.mesh.LOGICAL_AXIS_RULES.
+EMBED = "embed"
+MLP = "mlp"
+HEADS = "heads"
+KV = "kv"
+
+
+def with_part(init: Callable, names: tuple[str | None, ...]):
+    return nn.with_logical_partitioning(init, names)
+
+
+def sinusoidal_embedding(
+    timesteps: jax.Array,
+    dim: int = 256,
+    *,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jax.Array:
+    """diffusers get_timestep_embedding equivalent (fp32)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    return jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], -1)
+
+
+class TimestepEmbedding(nn.Module):
+    """linear(in→d) → silu → linear(d→d), matching diffusers TimestepEmbedding."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            kernel_init=with_part(nn.initializers.normal(0.02), (None, EMBED)),
+            name="linear_1",
+        )(x)
+        x = nn.silu(x)
+        x = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            kernel_init=with_part(nn.initializers.normal(0.02), (EMBED, None)),
+            name="linear_2",
+        )(x)
+        return x
+
+
+class TextProjection(nn.Module):
+    """PixArtAlphaTextProjection: linear → gelu(tanh) → linear."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            kernel_init=with_part(nn.initializers.normal(0.02), (None, EMBED)),
+            name="linear_1",
+        )(x)
+        x = nn.gelu(x, approximate=True)
+        x = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            kernel_init=with_part(nn.initializers.normal(0.02), (EMBED, None)),
+            name="linear_2",
+        )(x)
+        return x
+
+
+def layer_norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """LayerNorm without learnable affine, computed in fp32 (PixArt blocks use
+    elementwise_affine=False; modulation is applied by adaln outside)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float = 1e-6) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Fused SDPA over (B, T, H, Dh) tensors. Uses jax.nn.dot_product_attention
+    (flash/splash kernels on TPU where available) with fp32 softmax."""
+    return jax.nn.dot_product_attention(q, k, v, bias=bias)
+
+
+class Attention(nn.Module):
+    """Multi-head attention matching diffusers' Attention used by PixArt:
+    separate q/k/v linears with bias, single out projection with bias.
+    Self-attention when `context` is None, cross-attention otherwise.
+    Head dimension is sharded over the "tp" mesh axis via logical axes.
+    """
+
+    dim: int
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    use_bias: bool = True
+    out_bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        bias: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        ctx = x if context is None else context
+        inner = self.heads * self.head_dim
+
+        def proj(name: str, y: jax.Array) -> jax.Array:
+            return nn.Dense(
+                inner,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                kernel_init=with_part(
+                    nn.initializers.normal(0.02), (EMBED, HEADS)
+                ),
+                bias_init=with_part(nn.initializers.zeros_init(), (HEADS,)),
+                name=name,
+            )(y)
+
+        q = proj("to_q", x)
+        k = proj("to_k", ctx)
+        v = proj("to_v", ctx)
+        b, tq = q.shape[:2]
+        tk = k.shape[1]
+        q = q.reshape(b, tq, self.heads, self.head_dim)
+        k = k.reshape(b, tk, self.heads, self.head_dim)
+        v = v.reshape(b, tk, self.heads, self.head_dim)
+        out = dot_product_attention(q, k, v, bias=bias)
+        out = out.reshape(b, tq, inner)
+        return nn.Dense(
+            self.dim,
+            use_bias=self.out_bias,
+            dtype=self.dtype,
+            kernel_init=with_part(nn.initializers.normal(0.02), (HEADS, EMBED)),
+            name="to_out",
+        )(out)
+
+
+class FeedForward(nn.Module):
+    """d → mult·d → d with tanh-approximate GELU (PixArt's
+    activation_fn="gelu-approximate"); GEGLU variant for generic blocks."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+    gated: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        h = nn.Dense(
+            inner * (2 if self.gated else 1),
+            dtype=self.dtype,
+            kernel_init=with_part(nn.initializers.normal(0.02), (EMBED, MLP)),
+            bias_init=with_part(nn.initializers.zeros_init(), (MLP,)),
+            name="proj_in",
+        )(x)
+        if self.gated:
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * nn.gelu(gate, approximate=True)
+        else:
+            h = nn.gelu(h, approximate=True)
+        return nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            kernel_init=with_part(nn.initializers.normal(0.02), (MLP, EMBED)),
+            name="proj_out",
+        )(h)
+
+
+def sincos_2d_pos_embed(
+    dim: int,
+    grid_h: int,
+    grid_w: int,
+    base_size: int,
+    interpolation_scale: float = 1.0,
+) -> np.ndarray:
+    """diffusers get_2d_sincos_pos_embed equivalent (numpy, fp32)."""
+    gh = np.arange(grid_h, dtype=np.float32) / (grid_h / base_size) / interpolation_scale
+    gw = np.arange(grid_w, dtype=np.float32) / (grid_w / base_size) / interpolation_scale
+    grid = np.meshgrid(gw, gh)  # w first, matching diffusers
+    grid = np.stack(grid, axis=0).reshape(2, 1, grid_h, grid_w)
+
+    def _1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+        omega = np.arange(embed_dim // 2, dtype=np.float64) / (embed_dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb_h = _1d(dim // 2, grid[0])
+    emb_w = _1d(dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)

@@ -1,0 +1,17 @@
+from .mesh import (
+    LOGICAL_AXIS_RULES,
+    batch_sharding,
+    create_mesh,
+    param_shardings,
+    replicated,
+    shard_params,
+)
+
+__all__ = [
+    "LOGICAL_AXIS_RULES",
+    "create_mesh",
+    "param_shardings",
+    "shard_params",
+    "batch_sharding",
+    "replicated",
+]

@@ -1,0 +1,81 @@
+"""Device mesh and sharding utilities.
+
+The reference has no distributed runtime (SURVEY.md §2.9): multi-GPU use is
+manual process sharding over prompt files. Here parallelism is first-class:
+a `jax.sharding.Mesh` with axes
+
+* ``dp`` — data parallel over (candidate × prompt × image) work items; the
+  NSGA-II evaluation load is pleasingly parallel along this axis, and
+* ``tp`` — Megatron-style tensor parallel over attention heads / MLP hidden,
+  used for FLUX-scale models (12B) and high-resolution serving,
+
+and logical-axis rules mapping the models' `with_logical_partitioning`
+annotations onto the mesh. XLA inserts the (all-reduce over tp) collectives;
+they ride ICI by construction since tp is the minor mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import jax
+import numpy as np
+from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.common import EMBED, HEADS, KV, MLP
+
+# logical axis → mesh axis
+LOGICAL_AXIS_RULES: tuple[tuple[str, str | None], ...] = (
+    (EMBED, None),
+    (MLP, "tp"),
+    (HEADS, "tp"),
+    (KV, None),
+    ("batch", "dp"),
+)
+
+
+def create_mesh(
+    dp: int | None = None, tp: int = 1, devices: Sequence | None = None
+) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    if dp is None:
+        dp = len(devs) // tp
+    if dp * tp != len(devs):
+        raise ValueError(f"dp*tp={dp * tp} != {len(devs)} devices")
+    arr = np.array(devs).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def param_shardings(variables_or_params: Any, mesh: Mesh):
+    """Derive NamedShardings from the logical-partitioning metadata the
+    models attach to their kernels."""
+    specs = nn.get_partition_spec(variables_or_params)
+    return nn.logical_to_mesh_sharding(specs, mesh, LOGICAL_AXIS_RULES)
+
+
+def shard_params(params: Any, mesh: Mesh):
+    """Place (possibly boxed) params onto the mesh per their annotations.
+    Returns the unboxed, sharded param tree."""
+    shardings = param_shardings(params, mesh)
+    unboxed = nn.meta.unbox(params)
+    unboxed_shardings = nn.meta.unbox(shardings) if _is_boxed(shardings) else shardings
+    return jax.device_put(unboxed, unboxed_shardings)
+
+
+def _is_boxed(tree: Any) -> bool:
+    return any(
+        isinstance(x, nn.Partitioned)
+        for x in jax.tree.leaves(
+            tree, is_leaf=lambda x: isinstance(x, nn.Partitioned)
+        )
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over dp, replicate over tp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,27 @@
+from .pixart_pipeline import (
+    PixArtPipeline,
+    PixArtPipelineConfig,
+    SharedModelStepper,
+)
+from .samplers import (
+    DPMSolverSchedule,
+    DPMState,
+    FlowMatchSchedule,
+    dpm_step,
+    flow_step,
+    make_dpm_schedule,
+    make_flow_schedule,
+)
+
+__all__ = [
+    "PixArtPipeline",
+    "PixArtPipelineConfig",
+    "SharedModelStepper",
+    "DPMSolverSchedule",
+    "DPMState",
+    "dpm_step",
+    "make_dpm_schedule",
+    "FlowMatchSchedule",
+    "flow_step",
+    "make_flow_schedule",
+]

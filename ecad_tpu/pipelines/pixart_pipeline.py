@@ -1,0 +1,290 @@
+"""PixArt denoising pipeline with schedule-specialized compilation.
+
+Replaces the reference's diffusers PixArtAlphaPipeline hot loop
+(SURVEY.md §3.1: 20 denoise steps × 28 cached blocks driven by a mutable
+step cursor + callback chain, image_generator.py:153-213) with two TPU-native
+execution modes:
+
+* **unrolled** — the full trajectory is traced once per schedule with every
+  step's recompute mask folded in as static structure; cached components are
+  simply absent from the compiled graph (the FLOPs-faithful specialization,
+  SURVEY.md §7 design translation #2). Best latency; one compile per
+  schedule.
+* **stepwise** — one compiled function per *distinct* (step-index, step-mask)
+  pair, memoized in a process-wide cache. Distinct candidate schedules in an
+  NSGA-II population share most step patterns (every schedule recomputes
+  everything at step 0; heuristic seeds repeat rows), so a population of 72
+  compiles a few dozen step programs instead of 72 full trajectories. The
+  Python-level loop costs ~µs per step dispatch against ~ms step runtime.
+
+Classifier-free guidance follows the reference exactly: model batch is
+[negative; positive] (2B), guidance 4.5, epsilon taken from the first 4 of 8
+output channels (learned-sigma checkpoints).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.pixart import (
+    COMPONENTS,
+    PixArtConfig,
+    PixArtTransformer,
+    StepMask,
+    full_step_mask,
+    init_cache,
+    schedule_step_masks,
+)
+from ..schedules.pixart import PixArtCacheSchedule
+from .samplers import DPMSolverSchedule, DPMState, dpm_step, make_dpm_schedule
+
+
+@dataclass(frozen=True)
+class PixArtPipelineConfig:
+    model: PixArtConfig
+    num_inference_steps: int = 20
+    guidance_scale: float = 4.5  # fixed in the reference (pixart_image_generator.py:377)
+
+
+class PixArtPipeline:
+    """Owns a model + schedule pair and compiles denoise programs.
+
+    The pipeline is stateless across calls: no step cursors, no cache
+    resets — every invocation threads fresh functional state.
+    """
+
+    def __init__(
+        self,
+        config: PixArtPipelineConfig,
+        params: Any,
+        schedule: Optional[PixArtCacheSchedule] = None,
+    ) -> None:
+        self.config = config
+        self.params = params
+        self.model = PixArtTransformer(config.model)
+        if schedule is None:
+            schedule = PixArtCacheSchedule.default(
+                num_inference_steps=config.num_inference_steps,
+                num_blocks=config.model.num_blocks,
+            )
+        if schedule.num_inference_steps != config.num_inference_steps:
+            raise ValueError(
+                f"schedule has {schedule.num_inference_steps} steps, pipeline "
+                f"configured for {config.num_inference_steps}"
+            )
+        self.schedule = schedule
+        self.masks: list[StepMask] = schedule_step_masks(schedule, config.model)
+        self.dpm: DPMSolverSchedule = make_dpm_schedule(
+            config.num_inference_steps
+        )
+        self._unrolled_cache: dict[tuple, Callable] = {}
+
+    # -- model step (shared by both modes) --------------------------------
+
+    def _model_eps(
+        self,
+        params: Any,
+        latents: jax.Array,  # (B, H, W, C)
+        enc2: jax.Array,  # (2B, L, cap)
+        enc_mask2: Optional[jax.Array],
+        t_value: float,
+        cache: dict,
+        mask: StepMask,
+        resolution: Optional[jax.Array],
+        aspect_ratio: Optional[jax.Array],
+    ) -> tuple[jax.Array, dict]:
+        b = latents.shape[0]
+        lat2 = jnp.concatenate([latents, latents], axis=0)
+        t = jnp.full((2 * b,), t_value, dtype=jnp.float32)
+        out, cache = self.model.apply(
+            {"params": params},
+            lat2,
+            enc2,
+            t,
+            cache,
+            mask,
+            text_mask=enc_mask2,
+            resolution=resolution,
+            aspect_ratio=aspect_ratio,
+        )
+        eps2 = out[..., : self.config.model.in_channels]
+        eps_neg, eps_pos = jnp.split(eps2, 2, axis=0)
+        g = self.config.guidance_scale
+        eps = eps_neg + g * (eps_pos - eps_neg)
+        return eps, cache
+
+    # -- unrolled mode -----------------------------------------------------
+
+    def build_denoise_fn(self, donate: bool = True) -> Callable:
+        """Full-trajectory jitted fn:
+        (params, noise, text, neg, text_mask, neg_mask) → final latents.
+        Masks/sampler constants are static; compile once per schedule."""
+
+        def denoise(params, noise, text, neg, text_mask, neg_mask):
+            b = noise.shape[0]
+            enc2 = jnp.concatenate([neg, text], axis=0)
+            enc_mask2 = None
+            if text_mask is not None and neg_mask is not None:
+                enc_mask2 = jnp.concatenate([neg_mask, text_mask], axis=0)
+            res, ar = self._additional_conditions(2 * b, noise.dtype)
+            tokens = (noise.shape[1] // self.config.model.patch_size) * (
+                noise.shape[2] // self.config.model.patch_size
+            )
+            cache = init_cache(self.config.model, 2 * b, tokens)
+            x = noise * self.dpm.init_noise_sigma
+            state = DPMState(x, jnp.zeros_like(x, jnp.float32), False)
+            for i in range(self.dpm.num_steps):
+                eps, cache = self._model_eps(
+                    params,
+                    state.x,
+                    enc2,
+                    enc_mask2,
+                    float(self.dpm.timesteps[i]),
+                    cache,
+                    self.masks[i],
+                    res,
+                    ar,
+                )
+                state = dpm_step(self.dpm, i, eps, state)
+            return state.x
+
+        return jax.jit(denoise, donate_argnums=(1,) if donate else ())
+
+    def _additional_conditions(self, batch2: int, dtype):
+        c = self.config.model
+        if not c.use_additional_conditions:
+            return None, None
+        side = c.sample_size * 8
+        res = jnp.full((batch2, 2), side, jnp.float32)
+        ar = jnp.ones((batch2,), jnp.float32)
+        return res, ar
+
+    # -- stepwise mode (cross-schedule compilation sharing) ---------------
+
+    def denoise_stepwise(
+        self, noise, text, neg, text_mask=None, neg_mask=None
+    ) -> jax.Array:
+        """Python-level step loop dispatching memoized per-step programs.
+        Compilation key = (model identity, shapes, step index, step mask) —
+        shared across all schedules in a population."""
+        b = noise.shape[0]
+        enc2 = jnp.concatenate([neg, text], axis=0)
+        enc_mask2 = None
+        if text_mask is not None and neg_mask is not None:
+            enc_mask2 = jnp.concatenate([neg_mask, text_mask], axis=0)
+        tokens = (noise.shape[1] // self.config.model.patch_size) * (
+            noise.shape[2] // self.config.model.patch_size
+        )
+        cache = init_cache(self.config.model, 2 * b, tokens)
+        x = noise * self.dpm.init_noise_sigma
+        state = DPMState(x, jnp.zeros_like(x, jnp.float32), False)
+        for i in range(self.dpm.num_steps):
+            fn = _step_fn(
+                self,
+                i,
+                self.masks[i],
+                state.have_prev,
+                enc_mask2 is not None,
+            )
+            x, prev_x0, cache = fn(
+                self.params, state.x, state.prev_x0, enc2, enc_mask2, cache
+            )
+            state = DPMState(x, prev_x0, True)
+        return state.x
+
+    def generate_latents(
+        self,
+        text: jax.Array,
+        neg: jax.Array,
+        *,
+        seed: int = 0,
+        batch: Optional[int] = None,
+        text_mask: Optional[jax.Array] = None,
+        neg_mask: Optional[jax.Array] = None,
+        mode: str = "unrolled",
+    ) -> jax.Array:
+        """End-to-end latent generation from prompt embeddings."""
+        b = batch or text.shape[0]
+        c = self.config.model
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (b, c.sample_size, c.sample_size, c.in_channels),
+            dtype=jnp.float32,
+        ).astype(c.dtype)
+        if mode == "unrolled":
+            key = (b, text.shape, text_mask is not None)
+            if key not in self._unrolled_cache:
+                self._unrolled_cache[key] = self.build_denoise_fn()
+            return self._unrolled_cache[key](
+                self.params, noise, text, neg, text_mask, neg_mask
+            )
+        if mode == "stepwise":
+            return self.denoise_stepwise(noise, text, neg, text_mask, neg_mask)
+        raise ValueError(f"unknown mode {mode!r}")
+
+
+# process-wide step-program cache: population evaluation across many
+# schedules reuses compiled steps keyed by the step's recompute pattern
+@functools.lru_cache(maxsize=4096)
+def _step_fn(
+    pipeline: "PixArtPipeline",
+    step_index: int,
+    mask: StepMask,
+    have_prev: bool,
+    with_enc_mask: bool,
+):
+    dpm = pipeline.dpm
+
+    def step(params, x, prev_x0, enc2, enc_mask2, cache):
+        res, ar = pipeline._additional_conditions(
+            2 * x.shape[0], x.dtype
+        )
+        eps, cache = pipeline._model_eps(
+            params,
+            x,
+            enc2,
+            enc_mask2 if with_enc_mask else None,
+            float(dpm.timesteps[step_index]),
+            cache,
+            mask,
+            res,
+            ar,
+        )
+        state = dpm_step(
+            dpm, step_index, eps, DPMState(x, prev_x0, have_prev)
+        )
+        return state.x, state.prev_x0, cache
+
+    return jax.jit(step, donate_argnums=(1, 5))
+
+
+# NOTE: _step_fn keys on the pipeline object; pipelines for different
+# schedules of the same model/params would defeat sharing. Population
+# evaluation therefore uses one pipeline per *model* and passes masks:
+class SharedModelStepper:
+    """Step-program pool shared across an entire candidate population.
+
+    Usage: one instance per (model, params, steps); call `denoise(masks,…)`
+    per candidate. Compiled step programs are keyed by (step, mask) only.
+    """
+
+    def __init__(self, pipeline: PixArtPipeline):
+        self.pipeline = pipeline
+
+    def denoise(
+        self, masks: list[StepMask], noise, text, neg,
+        text_mask=None, neg_mask=None,
+    ) -> jax.Array:
+        p = self.pipeline
+        saved = p.masks
+        try:
+            p.masks = masks
+            return p.denoise_stepwise(noise, text, neg, text_mask, neg_mask)
+        finally:
+            p.masks = saved
