@@ -1,0 +1,58 @@
+"""Image-generator registry (reference: load_image_generator.py:16-85)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from ..registry import Registry
+from .base import ImageGenerator
+from .pixart import (
+    PixArtAlphaImageGenerator,
+    PixArtImageGenerator,
+    PixArtSigmaImageGenerator,
+    TinyPixArtImageGenerator,
+)
+
+ImageGeneratorRegistry: Registry = Registry("image_generator")
+ImageGeneratorRegistry.register(
+    PixArtAlphaImageGenerator, name="PixArtAlphaImageGenerator"
+)
+ImageGeneratorRegistry.register(
+    PixArtSigmaImageGenerator, name="PixArtSigmaImageGenerator"
+)
+ImageGeneratorRegistry.register(
+    TinyPixArtImageGenerator, name="TinyPixArtImageGenerator"
+)
+
+
+def get_image_generator_type(name: str) -> type[ImageGenerator]:
+    return ImageGeneratorRegistry.get(name)
+
+
+def get_image_generator_type_from_config(config: dict[str, Any]):
+    return get_image_generator_type(config["image_generator"])
+
+
+def register_flux() -> None:
+    """FLUX generator registers lazily once the flux pipeline lands."""
+    from .flux import FluxImageGenerator  # noqa: F401
+
+    ImageGeneratorRegistry.register(
+        FluxImageGenerator, name="FluxImageGenerator"
+    )
+
+
+try:  # keep registry complete when the flux stack is present
+    register_flux()
+except ImportError:
+    pass
+
+__all__ = [
+    "ImageGenerator",
+    "ImageGeneratorRegistry",
+    "PixArtImageGenerator",
+    "PixArtAlphaImageGenerator",
+    "PixArtSigmaImageGenerator",
+    "get_image_generator_type",
+    "get_image_generator_type_from_config",
+]

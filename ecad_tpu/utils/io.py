@@ -21,9 +21,14 @@ def save_embedding(path: Path | str, data: dict[str, Any]) -> Path:
     """Save a dict of arrays as .pt (torch interchange) or .npz."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    arrays = {
-        k: np.asarray(v) for k, v in data.items() if v is not None
-    }
+    arrays = {}
+    for k, v in data.items():
+        if v is None:
+            continue
+        arr = np.asarray(v)
+        if arr.dtype.kind not in "fiub":  # skip names/paths etc.
+            continue
+        arrays[k] = arr
     if path.suffix == ".pt":
         import torch
 
