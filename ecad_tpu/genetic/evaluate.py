@@ -49,7 +49,8 @@ class EvalConfig:
 
 class CandidateEvaluator:
     """Evaluates every candidate of a generation and writes the score/MACs
-    artifacts the NSGA-II loop consumes."""
+    artifacts the NSGA-II loop consumes. PixArt flavor; see
+    FluxCandidateEvaluator for the flux stack."""
 
     def __init__(
         self,
@@ -102,7 +103,7 @@ class CandidateEvaluator:
         )
 
     def evaluate_candidate(self, schedule) -> tuple[dict, np.ndarray]:
-        masks = schedule_step_masks(schedule, self.pipeline.config.model)
+        masks = self._schedule_masks(schedule)
         noise, text, neg, prompts, ids = self._noise_batch()
         scorer = get_scorer(self.config.scorer)
         bs = self.config.batch_size or len(prompts)
@@ -116,6 +117,9 @@ class CandidateEvaluator:
             imgs_all.append(self.decode_fn(latents))
         images = np.concatenate(imgs_all)
         return scorer(images, prompts, ids), images
+
+    def _schedule_masks(self, schedule):
+        return schedule_step_masks(schedule, self.pipeline.config.model)
 
     def evaluate_generation(
         self,
@@ -148,3 +152,83 @@ class CandidateEvaluator:
                 )
         manager.compute_macs_for_generation(generation)
         return results
+
+
+class FluxCandidateEvaluator(CandidateEvaluator):
+    """FLUX flavor: embedded-guidance (no CFG batch), packed latents, and
+    the (text, pooled) embedding pair instead of (text, negative)."""
+
+    def __init__(
+        self,
+        pipeline,  # FluxPipeline
+        text: jax.Array,  # (P, L, joint_dim)
+        pooled: jax.Array,  # (P, pooled_dim)
+        prompts,
+        config: EvalConfig | None = None,
+        prompt_ids=None,
+        decode_fn=None,
+    ) -> None:
+        from ..pipelines.flux_pipeline import SharedFluxStepper
+
+        self.pipeline = pipeline
+        self.stepper = SharedFluxStepper(pipeline)
+        self.text = text
+        self.pooled = pooled
+        self.prompts = list(prompts)
+        self.prompt_ids = list(prompt_ids) if prompt_ids else None
+        self.config = config or EvalConfig()
+        self.decode_fn = decode_fn or latents_to_uint8
+
+    def _schedule_masks(self, schedule):
+        from ..models.flux import flux_step_masks
+
+        return flux_step_masks(schedule, self.pipeline.config.model)
+
+    def _noise_batch(self):
+        c = self.pipeline.config
+        n_img = self.config.images_per_prompt
+        p = len(self.prompts)
+        noises, texts, pooleds, prompts, ids = [], [], [], [], []
+        for i in range(n_img):
+            seed = self.config.start_seed + i * self.config.seed_step
+            noise = jax.random.normal(
+                jax.random.PRNGKey(seed),
+                (p, c.image_seq_len, c.model.in_channels),
+            ).astype(c.model.dtype)
+            noises.append(noise)
+            texts.append(self.text)
+            pooleds.append(self.pooled)
+            prompts.extend(self.prompts)
+            ids.extend(
+                self.prompt_ids
+                if self.prompt_ids
+                else [str(j) for j in range(p)]
+            )
+        return (
+            jnp.concatenate(noises),
+            jnp.concatenate(texts),
+            jnp.concatenate(pooleds),
+            prompts,
+            ids,
+        )
+
+    def evaluate_candidate(self, schedule):
+        from ..models.flux import unpack_latents
+        from ..scoring import get_scorer
+
+        masks = self._schedule_masks(schedule)
+        noise, text, pooled, prompts, ids = self._noise_batch()
+        scorer = get_scorer(self.config.scorer)
+        bs = self.config.batch_size or len(prompts)
+        gh, gw = self.pipeline.config.grid_hw
+        imgs_all = []
+        for lo in range(0, len(prompts), bs):
+            hi = min(lo + bs, len(prompts))
+            packed = self.stepper.denoise(
+                masks, noise[lo:hi], text[lo:hi], pooled[lo:hi]
+            )
+            imgs_all.append(
+                self.decode_fn(unpack_latents(packed, gh, gw))
+            )
+        images = np.concatenate(imgs_all)
+        return scorer(images, prompts, ids), images

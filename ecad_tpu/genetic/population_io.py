@@ -109,12 +109,16 @@ class PopulationIOManager:
     def vector_to_schedule(
         self, x: npt.NDArray, index: int
     ) -> CacheSchedule:
+        extra: dict[str, Any] = {}
+        if hasattr(self.default_schedule, "num_single_blocks"):
+            extra["num_single_blocks"] = self.default_schedule.num_single_blocks
         sched = self.schedule_cls.from_numpy(
             np.asarray(x, dtype=bool),
             self.num_inference_steps,
             self.default_schedule.num_blocks,
             name=f"{self.name}_gen_{self.generation_num:03d}_cand_{index:03d}",
             top_level_config=dict(self.candidate_config),
+            **extra,
         )
         sched.attributes = sched.compute_diff_attributes(self.default_schedule)
         return sched

@@ -90,6 +90,23 @@ def initialize_manager(args) -> PopulationIOManager:
         population_size=args.population_size,
         maximize_macs=args.maximize_macs,
     )
+    if args.tiny_model:
+        # candidate genomes must match the tiny architectures
+        if args.model_family == "flux":
+            from ..schedules import FluxCacheSchedule
+
+            kwargs["default_schedule"] = FluxCacheSchedule.default(
+                num_inference_steps=args.num_inference_steps,
+                num_blocks=2,
+                num_single_blocks=3,
+                top_level_config={},
+            )
+        else:
+            from ..schedules import PixArtCacheSchedule
+
+            kwargs["default_schedule"] = PixArtCacheSchedule.default(
+                num_inference_steps=args.num_inference_steps, num_blocks=2
+            )
     if args.populations_dir is not None:
         kwargs["all_populations_dir"] = args.populations_dir
     if args.benchmarks_dir is not None:
@@ -104,11 +121,8 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
     from ..models import PixArtConfig, init_params
     from ..pipelines import PixArtPipeline, PixArtPipelineConfig
 
-    if args.model_family != "pixart":
-        raise NotImplementedError(
-            "in-process evaluation currently targets PixArt; FLUX arrives "
-            "with the flux pipeline"
-        )
+    if args.model_family == "flux":
+        return _build_flux_evaluator(args)
     config = (
         PixArtConfig.tiny(dtype=jnp.float32) if args.tiny_model else PixArtConfig()
     )
@@ -142,6 +156,48 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
         pipeline,
         text,
         neg,
+        prompts,
+        EvalConfig(
+            images_per_prompt=args.images_per_prompt,
+            start_seed=args.start_seed,
+            seed_step=args.seed_step,
+            scorer=args.scorer,
+            batch_size=args.batch_size,
+        ),
+    )
+
+
+def _build_flux_evaluator(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.flux import FluxConfig, init_flux_params
+    from ..pipelines.flux_pipeline import FluxPipeline, FluxPipelineConfig
+    from .evaluate import FluxCandidateEvaluator
+
+    config = (
+        FluxConfig.tiny(dtype=jnp.float32) if args.tiny_model else FluxConfig()
+    )
+    _, params = init_flux_params(config, args.seed)
+    height = 64 if args.tiny_model else 256
+    pcfg = FluxPipelineConfig(
+        model=config,
+        num_inference_steps=args.num_inference_steps,
+        height=height,
+        width=height,
+    )
+    pipeline = FluxPipeline(pcfg, params)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed))
+    p = args.num_prompts
+    text = jax.random.normal(
+        k1, (p, config.text_len, config.joint_dim)
+    ).astype(config.dtype)
+    pooled = jax.random.normal(k2, (p, config.pooled_dim)).astype(config.dtype)
+    prompts = [f"prompt_{i}" for i in range(p)]
+    return FluxCandidateEvaluator(
+        pipeline,
+        text,
+        pooled,
         prompts,
         EvalConfig(
             images_per_prompt=args.images_per_prompt,

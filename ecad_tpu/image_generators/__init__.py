@@ -33,19 +33,12 @@ def get_image_generator_type_from_config(config: dict[str, Any]):
     return get_image_generator_type(config["image_generator"])
 
 
-def register_flux() -> None:
-    """FLUX generator registers lazily once the flux pipeline lands."""
-    from .flux import FluxImageGenerator  # noqa: F401
+from .flux import FluxImageGenerator, TinyFluxImageGenerator
 
-    ImageGeneratorRegistry.register(
-        FluxImageGenerator, name="FluxImageGenerator"
-    )
-
-
-try:  # keep registry complete when the flux stack is present
-    register_flux()
-except ImportError:
-    pass
+ImageGeneratorRegistry.register(FluxImageGenerator, name="FluxImageGenerator")
+ImageGeneratorRegistry.register(
+    TinyFluxImageGenerator, name="TinyFluxImageGenerator"
+)
 
 __all__ = [
     "ImageGenerator",

@@ -81,10 +81,7 @@ class ImageGenerator(ABC):
         apply its embedded config overrides — the schedule JSON doubles as a
         config carrier (reference image_generator.py:99-191, types.py:38-48)."""
         if schedule_path is None:
-            sched = self.schedule_cls.default(
-                num_inference_steps=self.num_inference_steps,
-                num_blocks=self.num_blocks,
-            )
+            sched = self._default_schedule()
         else:
             sched = self.schedule_cls.from_json(schedule_path)
             self.num_inference_steps = sched.num_inference_steps
@@ -110,6 +107,12 @@ class ImageGenerator(ABC):
         # PixArt fixes guidance at 4.5 (reference inference.py:210-215
         # rejects overrides); FLUX allows per-schedule guidance.
         return False
+
+    def _default_schedule(self) -> CacheSchedule:
+        return self.schedule_cls.default(
+            num_inference_steps=self.num_inference_steps,
+            num_blocks=self.num_blocks,
+        )
 
     # -- abstract construction --------------------------------------------
 

@@ -1,0 +1,517 @@
+"""FLUX.1 transformer (dual-stream + single-stream), TPU-native.
+
+Architecture parity with diffusers' FluxTransformer2DModel as used by the
+reference (ecad/transformer_2d_models/flux_transformer_2d_edited.py): 19
+dual-stream blocks (joint attention over [text; image] with per-head RMS
+q/k norms and 3-axis RoPE, AdaLayerNormZero gating per stream) + 38
+single-stream blocks (fused qkv+mlp with shared proj_out), guidance
+embedding (FLUX.1-dev), packed 2×2 latents (64 channels).
+
+Cache semantics mirror ecad/transformer_blocks/cached_flux_transformer_block.py:
+* dual `full_attn` caches the (attn_output, context_attn_output) pair
+  atomically pre-gate (:170-200); `full_ff`/`full_ff_context` cache pre-gate
+  FF outputs (:202-226)
+* single `single_proj_mlp` caches the PRE-activation projection (:106-110 —
+  act_mlp is applied after the cache read), `single_attn` the attention
+  output, `single_proj_out` the pre-gate output projection
+* every component updates its cache each step with the value it used,
+  recomputed or reused.
+
+Recompute decisions are static per (block, component) — cached components
+are absent from the compiled graph (see ecad_tpu.models.pixart docstring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .common import (
+    EMBED,
+    HEADS,
+    MLP,
+    TimestepEmbedding,
+    layer_norm,
+    sinusoidal_embedding,
+    with_part,
+)
+
+FULL_COMPONENTS = ("full_attn", "full_ff", "full_ff_context")
+SINGLE_COMPONENTS = ("single_attn", "single_proj_mlp", "single_proj_out")
+
+
+@dataclass(frozen=True)
+class FluxConfig:
+    dim: int = 3072
+    num_heads: int = 24
+    head_dim: int = 128
+    num_blocks: int = 19
+    num_single_blocks: int = 38
+    in_channels: int = 64  # packed 2×2 × 16 latent channels
+    joint_dim: int = 4096  # T5 embeddings
+    pooled_dim: int = 768  # CLIP pooled embedding
+    mlp_ratio: int = 4
+    axes_dims: tuple[int, ...] = (16, 56, 56)
+    rope_theta: int = 10000
+    text_len: int = 512
+    guidance_embeds: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def tiny(cls, **kw) -> "FluxConfig":
+        defaults = dict(
+            dim=64,
+            num_heads=4,
+            head_dim=16,
+            num_blocks=2,
+            num_single_blocks=3,
+            in_channels=16,
+            joint_dim=32,
+            pooled_dim=24,
+            axes_dims=(4, 6, 6),
+            text_len=8,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+# ---------------------------------------------------------------------------
+# RoPE (3-axis, diffusers FluxPosEmbed semantics)
+# ---------------------------------------------------------------------------
+
+
+def rope_freqs(
+    ids: np.ndarray, axes_dims: tuple[int, ...], theta: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """ids (S, n_axes) → (cos, sin) of shape (S, head_dim/2), concatenated
+    per axis. Frequencies follow diffusers get_1d_rotary_pos_embed with
+    linear factor 1 / ntk factor 1."""
+    cos_parts, sin_parts = [], []
+    for k, d in enumerate(axes_dims):
+        pos = ids[:, k].astype(np.float64)
+        freqs = 1.0 / (
+            theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+        )  # (d/2,)
+        angles = np.outer(pos, freqs)  # (S, d/2)
+        cos_parts.append(np.cos(angles))
+        sin_parts.append(np.sin(angles))
+    return (
+        np.concatenate(cos_parts, axis=1).astype(np.float32),
+        np.concatenate(sin_parts, axis=1).astype(np.float32),
+    )
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Interleaved rotary application on (B, S, H, D): pairs are the last
+    dim's (even, odd) elements (diffusers apply_rotary_emb,
+    use_real_unbind_dim=-1)."""
+    b, s, h, d = x.shape
+    xf = x.astype(jnp.float32).reshape(b, s, h, d // 2, 2)
+    x1, x2 = xf[..., 0], xf[..., 1]
+    c = cos[None, :, None, :]
+    sn = sin[None, :, None, :]
+    r1 = x1 * c - x2 * sn
+    r2 = x2 * c + x1 * sn
+    return jnp.stack([r1, r2], axis=-1).reshape(b, s, h, d).astype(x.dtype)
+
+
+def make_image_ids(grid_h: int, grid_w: int) -> np.ndarray:
+    ids = np.zeros((grid_h, grid_w, 3), dtype=np.float64)
+    ids[..., 1] = np.arange(grid_h)[:, None]
+    ids[..., 2] = np.arange(grid_w)[None, :]
+    return ids.reshape(-1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+
+def _dense(dim, name, in_axis=EMBED, out_axis=None, dtype=jnp.bfloat16, use_bias=True):
+    return nn.Dense(
+        dim,
+        use_bias=use_bias,
+        dtype=dtype,
+        kernel_init=with_part(nn.initializers.normal(0.02), (in_axis, out_axis)),
+        name=name,
+    )
+
+
+class AdaNorm(nn.Module):
+    """AdaLayerNormZero family: silu(temb) → linear → n_mods chunks; returns
+    modulated layer-norm and the gates."""
+
+    dim: int
+    n_mods: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: jax.Array):
+        mods = _dense(
+            self.n_mods * self.dim, "linear", dtype=self.dtype, out_axis=None
+        )(nn.silu(temb))
+        parts = jnp.split(mods[:, None, :], self.n_mods, axis=-1)
+        shift, scale = parts[0], parts[1]
+        normed = layer_norm(x) * (1 + scale) + shift
+        return (normed, *parts[2:])
+
+
+class QKNorm(nn.Module):
+    """Per-head RMS norm on q and k (flux qk_norm='rms_norm', eps 1e-6)."""
+
+    head_dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, q: jax.Array, k: jax.Array):
+        qs = self.param(
+            "q_scale", nn.initializers.ones_init(), (self.head_dim,), jnp.float32
+        )
+        ks = self.param(
+            "k_scale", nn.initializers.ones_init(), (self.head_dim,), jnp.float32
+        )
+
+        def rms(x, scale):
+            x32 = x.astype(jnp.float32)
+            var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+            return (x32 * jax.lax.rsqrt(var + 1e-6) * scale).astype(self.dtype)
+
+        return rms(q, qs), rms(k, ks)
+
+
+class FluxJointAttention(nn.Module):
+    """Dual-stream joint attention: text and image tokens get separate
+    qkv/out projections but attend jointly ([text; image] order)."""
+
+    config: FluxConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        img: jax.Array,  # (B, Ti, d) modulated image stream
+        txt: jax.Array,  # (B, Tt, d) modulated text stream
+        cos: jax.Array,
+        sin: jax.Array,
+    ) -> tuple[jax.Array, jax.Array]:
+        c = self.config
+        inner = c.num_heads * c.head_dim
+        b, ti = img.shape[:2]
+        tt = txt.shape[1]
+
+        def heads(x):
+            return x.reshape(b, -1, c.num_heads, c.head_dim)
+
+        q = heads(_dense(inner, "to_q", out_axis=HEADS, dtype=c.dtype)(img))
+        k = heads(_dense(inner, "to_k", out_axis=HEADS, dtype=c.dtype)(img))
+        v = heads(_dense(inner, "to_v", out_axis=HEADS, dtype=c.dtype)(img))
+        q, k = QKNorm(c.head_dim, c.dtype, name="norm_qk")(q, k)
+
+        qc = heads(_dense(inner, "add_q_proj", out_axis=HEADS, dtype=c.dtype)(txt))
+        kc = heads(_dense(inner, "add_k_proj", out_axis=HEADS, dtype=c.dtype)(txt))
+        vc = heads(_dense(inner, "add_v_proj", out_axis=HEADS, dtype=c.dtype)(txt))
+        qc, kc = QKNorm(c.head_dim, c.dtype, name="norm_added_qk")(qc, kc)
+
+        # text first, matching diffusers' concatenation order
+        q = jnp.concatenate([qc, q], axis=1)
+        k = jnp.concatenate([kc, k], axis=1)
+        v = jnp.concatenate([vc, v], axis=1)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        out = jax.nn.dot_product_attention(q, k, v)
+        out = out.reshape(b, tt + ti, inner)
+        txt_out, img_out = out[:, :tt], out[:, tt:]
+        img_out = _dense(c.dim, "to_out", in_axis=HEADS, out_axis=EMBED, dtype=c.dtype)(img_out)
+        txt_out = _dense(c.dim, "to_add_out", in_axis=HEADS, out_axis=EMBED, dtype=c.dtype)(txt_out)
+        return img_out, txt_out
+
+
+class FluxSingleAttention(nn.Module):
+    """Single-stream attention: qkv + RoPE + SDPA, no output projection
+    (fused into the block's proj_out)."""
+
+    config: FluxConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+        c = self.config
+        inner = c.num_heads * c.head_dim
+        b, s = x.shape[:2]
+
+        def heads(y):
+            return y.reshape(b, s, c.num_heads, c.head_dim)
+
+        q = heads(_dense(inner, "to_q", out_axis=HEADS, dtype=c.dtype)(x))
+        k = heads(_dense(inner, "to_k", out_axis=HEADS, dtype=c.dtype)(x))
+        v = heads(_dense(inner, "to_v", out_axis=HEADS, dtype=c.dtype)(x))
+        q, k = QKNorm(c.head_dim, c.dtype, name="norm_qk")(q, k)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        out = jax.nn.dot_product_attention(q, k, v)
+        return out.reshape(b, s, inner)
+
+
+class FluxDualBlock(nn.Module):
+    config: FluxConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        img: jax.Array,
+        txt: jax.Array,
+        temb: jax.Array,
+        cos: jax.Array,
+        sin: jax.Array,
+        cache: dict[str, Any],
+        mask: tuple[bool, bool, bool],  # (full_attn, full_ff, full_ff_context)
+    ):
+        c = self.config
+        recompute_attn, recompute_ff, recompute_ffc = mask
+        new_cache = {}
+
+        norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaNorm(
+            c.dim, 6, c.dtype, name="norm1"
+        )(img, temb)
+        norm_txt, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = AdaNorm(
+            c.dim, 6, c.dtype, name="norm1_context"
+        )(txt, temb)
+
+        if recompute_attn:
+            attn_out, ctx_attn_out = FluxJointAttention(c, name="attn")(
+                norm_img, norm_txt, cos, sin
+            )
+        else:
+            attn_out, ctx_attn_out = cache["full_attn"]
+        new_cache["full_attn"] = (attn_out, ctx_attn_out)
+
+        img = img + gate_msa * attn_out
+        norm_img2 = layer_norm(img) * (1 + scale_mlp) + shift_mlp
+        if recompute_ff:
+            ff = _dense(c.dim * c.mlp_ratio, "ff_in", out_axis=MLP, dtype=c.dtype)(norm_img2)
+            ff = nn.gelu(ff, approximate=True)
+            ff = _dense(c.dim, "ff_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype)(ff)
+        else:
+            ff = cache["full_ff"]
+        new_cache["full_ff"] = ff
+        img = img + gate_mlp * ff
+
+        txt = txt + c_gate_msa * ctx_attn_out
+        norm_txt2 = layer_norm(txt) * (1 + c_scale_mlp) + c_shift_mlp
+        if recompute_ffc:
+            ffc = _dense(
+                c.dim * c.mlp_ratio, "ff_context_in", out_axis=MLP, dtype=c.dtype
+            )(norm_txt2)
+            ffc = nn.gelu(ffc, approximate=True)
+            ffc = _dense(
+                c.dim, "ff_context_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype
+            )(ffc)
+        else:
+            ffc = cache["full_ff_context"]
+        new_cache["full_ff_context"] = ffc
+        txt = txt + c_gate_mlp * ffc
+        return img, txt, new_cache
+
+
+class FluxSingleBlock(nn.Module):
+    config: FluxConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B, Tt+Ti, d) joint stream
+        temb: jax.Array,
+        cos: jax.Array,
+        sin: jax.Array,
+        cache: dict[str, Any],
+        mask: tuple[bool, bool, bool],  # (attn, proj_mlp, proj_out)
+    ):
+        c = self.config
+        recompute_attn, recompute_mlp, recompute_out = mask
+        new_cache = {}
+        residual = x
+        normed, gate = AdaNorm(c.dim, 3, c.dtype, name="norm")(x, temb)
+
+        if recompute_mlp:
+            mlp = _dense(
+                c.dim * c.mlp_ratio, "proj_mlp", out_axis=MLP, dtype=c.dtype
+            )(normed)
+        else:
+            mlp = cache["single_proj_mlp"]
+        new_cache["single_proj_mlp"] = mlp  # cached PRE-activation
+        mlp_act = nn.gelu(mlp, approximate=True)
+
+        if recompute_attn:
+            attn = FluxSingleAttention(c, name="attn")(normed, cos, sin)
+        else:
+            attn = cache["single_attn"]
+        new_cache["single_attn"] = attn
+
+        if recompute_out:
+            joint = jnp.concatenate([attn, mlp_act], axis=-1)
+            out = _dense(
+                c.dim, "proj_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype
+            )(joint)
+        else:
+            out = cache["single_proj_out"]
+        new_cache["single_proj_out"] = out
+
+        return residual + gate * out, new_cache
+
+
+class FluxTransformer(nn.Module):
+    """Full FLUX transformer over packed latents.
+
+    `mask` layout: tuple of per-block component triples, full blocks first
+    then single blocks (the schedule slot order,
+    ecad/schedulers/cache_scheduler/flux_cache_schedule.py:62-90)."""
+
+    config: FluxConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        latents: jax.Array,  # (B, T_img, 64) packed
+        txt: jax.Array,  # (B, T_txt, joint_dim) T5 embeddings
+        pooled: jax.Array,  # (B, pooled_dim) CLIP pooled
+        timestep: jax.Array,  # (B,) in [0, 1] (sigma)
+        guidance: Optional[jax.Array],  # (B,) guidance scale or None
+        cache: dict[str, Any],
+        mask: tuple,
+        grid_hw: tuple[int, int],
+    ):
+        c = self.config
+        img = _dense(c.dim, "x_embedder", in_axis=None, out_axis=EMBED, dtype=c.dtype)(latents)
+        txt_h = _dense(
+            c.dim, "context_embedder", in_axis=None, out_axis=EMBED, dtype=c.dtype
+        )(txt)
+
+        t_emb = TimestepEmbedding(c.dim, c.dtype, name="timestep_embedder")(
+            sinusoidal_embedding(timestep * 1000.0, 256).astype(c.dtype)
+        )
+        temb = t_emb
+        if c.guidance_embeds:
+            assert guidance is not None
+            g_emb = TimestepEmbedding(c.dim, c.dtype, name="guidance_embedder")(
+                sinusoidal_embedding(guidance * 1000.0, 256).astype(c.dtype)
+            )
+            temb = temb + g_emb
+        pooled_emb = nn.Sequential(
+            [
+                _dense(c.dim, "linear_1", in_axis=None, out_axis=EMBED, dtype=c.dtype),
+                nn.silu,
+                _dense(c.dim, "linear_2", in_axis=EMBED, out_axis=None, dtype=c.dtype),
+            ],
+            name="text_embedder",
+        )(pooled)
+        temb = temb + pooled_emb
+
+        # rope over [text; image] ids
+        gh, gw = grid_hw
+        txt_ids = np.zeros((txt.shape[1], 3))
+        img_ids = make_image_ids(gh, gw)
+        cos_np, sin_np = rope_freqs(
+            np.concatenate([txt_ids, img_ids]), c.axes_dims, c.rope_theta
+        )
+        cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+
+        new_cache: dict[str, Any] = {}
+        for i in range(c.num_blocks):
+            block_cache = {k: cache.get(f"{k}_{i}") for k in FULL_COMPONENTS}
+            img, txt_h, updated = FluxDualBlock(c, name=f"block_{i}")(
+                img, txt_h, temb, cos, sin, block_cache, mask[i]
+            )
+            for k, v in updated.items():
+                new_cache[f"{k}_{i}"] = v
+
+        x = jnp.concatenate([txt_h, img], axis=1)
+        for i in range(c.num_single_blocks):
+            block_cache = {
+                k: cache.get(f"{k}_{i}") for k in SINGLE_COMPONENTS
+            }
+            x, updated = FluxSingleBlock(c, name=f"single_block_{i}")(
+                x, temb, cos, sin, block_cache, mask[c.num_blocks + i]
+            )
+            for k, v in updated.items():
+                new_cache[f"{k}_{i}"] = v
+
+        img = x[:, txt.shape[1] :]
+        # AdaLayerNormContinuous final modulation
+        mods = _dense(2 * c.dim, "norm_out_linear", dtype=c.dtype)(
+            nn.silu(temb)
+        )
+        shift, scale = jnp.split(mods[:, None, :], 2, axis=-1)
+        img = layer_norm(img) * (1 + scale) + shift
+        return _dense(
+            c.in_channels, "proj_out", in_axis=EMBED, out_axis=None, dtype=c.dtype
+        )(img), new_cache
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def flux_step_masks(schedule, config: FluxConfig) -> list[tuple]:
+    """Schedule → per-step static masks (full blocks then single blocks),
+    with step-0 cache-miss forcing."""
+    n_slots = config.num_blocks + config.num_single_blocks
+    masks = []
+    for step in range(schedule.num_inference_steps):
+        if step == 0:
+            masks.append(tuple(((True,) * 3) for _ in range(n_slots)))
+            continue
+        row = schedule.mask[step].reshape(n_slots, 3)
+        masks.append(tuple(tuple(bool(v) for v in r) for r in row))
+    return masks
+
+
+def full_flux_mask(config: FluxConfig, value: bool = True) -> tuple:
+    return tuple(
+        ((value,) * 3)
+        for _ in range(config.num_blocks + config.num_single_blocks)
+    )
+
+
+def init_flux_cache() -> dict:
+    """Empty cache: missing entries are only legal when the step mask
+    recomputes everything (step 0)."""
+    return {}
+
+
+def pack_latents(latents: jax.Array) -> jax.Array:
+    """(B, H, W, C) → (B, H/2·W/2, 4C) FLUX packing (NHWC layout)."""
+    b, h, w, ch = latents.shape
+    x = latents.reshape(b, h // 2, 2, w // 2, 2, ch)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h // 2) * (w // 2), 4 * ch)
+
+
+def unpack_latents(packed: jax.Array, grid_h: int, grid_w: int) -> jax.Array:
+    b, t, c4 = packed.shape
+    ch = c4 // 4
+    x = packed.reshape(b, grid_h, grid_w, 2, 2, ch)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, grid_h * 2, grid_w * 2, ch)
+
+
+def init_flux_params(config: FluxConfig, rng: jax.Array | int = 0):
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    model = FluxTransformer(config)
+    b, t_img = 1, 16
+    latents = jnp.zeros((b, t_img, config.in_channels), config.dtype)
+    txt = jnp.zeros((b, config.text_len, config.joint_dim), config.dtype)
+    pooled = jnp.zeros((b, config.pooled_dim), config.dtype)
+    t = jnp.zeros((b,), jnp.float32)
+    g = jnp.ones((b,), jnp.float32) * 3.5 if config.guidance_embeds else None
+    init_fn = jax.jit(
+        lambda k: model.init(
+            k, latents, txt, pooled, t, g, init_flux_cache(),
+            full_flux_mask(config), (4, 4),
+        )
+    )
+    return model, init_fn(rng)["params"]

@@ -373,7 +373,11 @@ def init_params(config: PixArtConfig, rng: jax.Array | int = 0):
             resolution=jnp.ones((b, 2), jnp.float32) * 1024,
             aspect_ratio=jnp.ones((b,), jnp.float32),
         )
-    variables = model.init(
-        rng, latents, text, t, cache, full_step_mask(config), **kwargs
+    # jit the init: op-by-op dispatch is orders of magnitude slower than one
+    # compiled program in this environment
+    init_fn = jax.jit(
+        lambda k: model.init(
+            k, latents, text, t, cache, full_step_mask(config), **kwargs
+        )
     )
-    return model, variables["params"]
+    return model, init_fn(rng)["params"]

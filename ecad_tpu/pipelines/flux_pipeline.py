@@ -1,0 +1,168 @@
+"""FLUX denoising pipeline (flow-match Euler, embedded guidance).
+
+Reference counterpart: diffusers FluxPipeline driven through
+ecad/image_generators/flux_image_generator.py (guidance 5, 20 steps,
+callback_on_step_end for cursor advancement — replaced here by static
+schedule specialization, like the PixArt pipeline). FLUX.1-dev is
+guidance-distilled: no CFG batch doubling; guidance enters as an embedding.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.flux import (
+    FluxConfig,
+    FluxTransformer,
+    flux_step_masks,
+    full_flux_mask,
+    pack_latents,
+    unpack_latents,
+)
+from ..schedules.flux import FluxCacheSchedule
+from .samplers import FlowMatchSchedule, flow_step, make_flow_schedule
+
+
+@dataclass(frozen=True)
+class FluxPipelineConfig:
+    model: FluxConfig
+    num_inference_steps: int = 20
+    guidance_scale: float = 5.0
+    height: int = 256
+    width: int = 256
+
+    @property
+    def grid_hw(self) -> tuple[int, int]:
+        return (self.height // 16, self.width // 16)
+
+    @property
+    def image_seq_len(self) -> int:
+        gh, gw = self.grid_hw
+        return gh * gw
+
+
+class FluxPipeline:
+    def __init__(
+        self,
+        config: FluxPipelineConfig,
+        params: Any,
+        schedule: Optional[FluxCacheSchedule] = None,
+    ) -> None:
+        self.config = config
+        self.params = params
+        self.model = FluxTransformer(config.model)
+        if schedule is None:
+            schedule = FluxCacheSchedule.default(
+                num_inference_steps=config.num_inference_steps,
+                num_blocks=config.model.num_blocks,
+                num_single_blocks=config.model.num_single_blocks,
+            )
+        if schedule.num_inference_steps != config.num_inference_steps:
+            raise ValueError(
+                f"schedule steps {schedule.num_inference_steps} != pipeline "
+                f"{config.num_inference_steps}"
+            )
+        self.schedule = schedule
+        self.masks = flux_step_masks(schedule, config.model)
+        self.flow: FlowMatchSchedule = make_flow_schedule(
+            config.num_inference_steps, config.image_seq_len
+        )
+        self._unrolled_cache: dict[tuple, Callable] = {}
+
+    def _velocity(self, params, x, txt, pooled, t_value, cache, mask):
+        b = x.shape[0]
+        t = jnp.full((b,), t_value, jnp.float32) / 1000.0
+        g = (
+            jnp.full((b,), self.config.guidance_scale, jnp.float32)
+            if self.config.model.guidance_embeds
+            else None
+        )
+        return self.model.apply(
+            {"params": params}, x, txt, pooled, t, g, cache, mask,
+            self.config.grid_hw,
+        )
+
+    def build_denoise_fn(self, donate: bool = True) -> Callable:
+        def denoise(params, noise, txt, pooled):
+            x = noise
+            cache: dict = {}
+            for i in range(self.flow.num_steps):
+                v, cache = self._velocity(
+                    params, x, txt, pooled, float(self.flow.timesteps[i]),
+                    cache, self.masks[i],
+                )
+                x = flow_step(self.flow, i, v, x)
+            return x
+
+        return jax.jit(denoise, donate_argnums=(1,) if donate else ())
+
+    def denoise_stepwise(self, noise, txt, pooled):
+        x = noise
+        cache: dict = {}
+        for i in range(self.flow.num_steps):
+            fn = _flux_step_fn(self, i, self.masks[i], i == 0)
+            x, cache = fn(self.params, x, txt, pooled, cache)
+        return x
+
+    def generate_latents(
+        self,
+        txt: jax.Array,
+        pooled: jax.Array,
+        *,
+        seed: int = 0,
+        mode: str = "unrolled",
+    ) -> jax.Array:
+        """Returns UNPACKED latents (B, H/8, W/8, 16)."""
+        c = self.config
+        b = txt.shape[0]
+        gh, gw = c.grid_hw
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (b, c.image_seq_len, c.model.in_channels),
+        ).astype(c.model.dtype)
+        if mode == "unrolled":
+            key = (b, txt.shape)
+            if key not in self._unrolled_cache:
+                self._unrolled_cache[key] = self.build_denoise_fn()
+            packed = self._unrolled_cache[key](self.params, noise, txt, pooled)
+        elif mode == "stepwise":
+            packed = self.denoise_stepwise(noise, txt, pooled)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return unpack_latents(packed, gh, gw)
+
+
+@functools.lru_cache(maxsize=4096)
+def _flux_step_fn(pipeline: FluxPipeline, step_index: int, mask, first: bool):
+    flow = pipeline.flow
+
+    def step(params, x, txt, pooled, cache):
+        v, cache = pipeline._velocity(
+            params, x, txt, pooled, float(flow.timesteps[step_index]),
+            cache, mask,
+        )
+        return flow_step(flow, step_index, v, x), cache
+
+    # cache dict is empty on the first step — donating it would be a no-op
+    return jax.jit(step, donate_argnums=(1,) if first else (1, 4))
+
+
+class SharedFluxStepper:
+    """Cross-candidate compiled-step sharing (see SharedModelStepper)."""
+
+    def __init__(self, pipeline: FluxPipeline):
+        self.pipeline = pipeline
+
+    def denoise(self, masks, noise, txt, pooled):
+        p = self.pipeline
+        saved = p.masks
+        try:
+            p.masks = masks
+            return p.denoise_stepwise(noise, txt, pooled)
+        finally:
+            p.masks = saved
