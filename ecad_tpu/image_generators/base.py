@@ -68,6 +68,7 @@ class ImageGenerator(ABC):
         self.pipeline_name = self.default_pipeline
         self.pipeline_kwargs: dict[str, Any] = {}
 
+        self.dit_schedule = None
         self.cache_schedule = self._load_schedule_file(schedule_path)
         self._encoder = None
         self._pipeline = None
@@ -83,8 +84,25 @@ class ImageGenerator(ABC):
         if schedule_path is None:
             sched = self._default_schedule()
         else:
-            sched = self.schedule_cls.from_json(schedule_path)
-            self.num_inference_steps = sched.num_inference_steps
+            # a schedule JSON carries either a cache_schedule or a
+            # dit_schedule (topology); the other falls back to defaults
+            # (reference image_generator.py:99-151)
+            import json as _json
+
+            with open(schedule_path) as f:
+                raw = _json.load(f)
+            if "dit_schedule" in raw:
+                from ..graph import DiTSchedule
+
+                self.dit_schedule = DiTSchedule.from_dict(raw)
+                self.num_inference_steps = (
+                    self.dit_schedule.num_inference_steps
+                )
+                sched = self._default_schedule()
+                sched.top_level_config = self.dit_schedule.top_level_config
+            else:
+                sched = self.schedule_cls.from_dict(raw)
+                self.num_inference_steps = sched.num_inference_steps
         cfg = sched.top_level_config or {}
         self.transformer_weights = cfg.get(
             "transformer_weights", self.transformer_weights

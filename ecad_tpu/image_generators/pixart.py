@@ -67,7 +67,15 @@ class PixArtImageGenerator(ImageGenerator):
             num_inference_steps=self.num_inference_steps,
             guidance_scale=self.guidance_scale,
         )
-        self._pipeline = PixArtPipeline(pcfg, params, self.cache_schedule)
+        from ..pipelines.registry import pipeline_from_config
+
+        cls, kwargs = pipeline_from_config(
+            self.pipeline_name or "pixart_alpha", self.pipeline_kwargs
+        )
+        self._pipeline = cls(
+            pcfg, params, self.cache_schedule,
+            dit_schedule=self.dit_schedule, **kwargs,
+        )
         return self._pipeline
 
     # -- encoding ----------------------------------------------------------

@@ -324,16 +324,27 @@ def run_block_stage(
     DiT topology DSL (default: sequential 0..N-1); each entry is a block
     index to apply. Cache rows are per-block regardless of plan order."""
     num_blocks = len(blocks)
-    order = tuple(range(num_blocks)) if plan is None else plan
     # cache is {component: tuple(per-block arrays)} — pure SSA dataflow, so
     # in an unrolled multi-step program XLA dead-code-eliminates cache
     # writes that no later step reads (no scatter ops, no copies).
     new_rows = {k: list(cache[k]) for k in COMPONENTS}
-    for i in order:
+
+    def block_apply(i: int, x: jax.Array) -> jax.Array:
         block_cache = {k: new_rows[k][i] for k in COMPONENTS}
-        h, updated = blocks[i](h, enc, t6, enc_bias, block_cache, mask[i])
+        x, updated = blocks[i](x, enc, t6, enc_bias, block_cache, mask[i])
         for k in COMPONENTS:
             new_rows[k][i] = updated[k]
+        return x
+
+    if plan is not None and plan and hasattr(plan[0], "inputs"):
+        # DiT topology execution plan (ecad_tpu.graph.interpreter)
+        from ..graph.interpreter import execute_plan
+
+        h = execute_plan(plan, h, block_apply)
+    else:
+        order = tuple(range(num_blocks)) if plan is None else plan
+        for i in order:
+            h = block_apply(i, h)
     return h, {k: tuple(new_rows[k]) for k in COMPONENTS}
 
 

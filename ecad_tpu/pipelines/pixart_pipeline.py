@@ -64,10 +64,17 @@ class PixArtPipeline:
         config: PixArtPipelineConfig,
         params: Any,
         schedule: Optional[PixArtCacheSchedule] = None,
+        dit_schedule: Any = None,  # Optional[ecad_tpu.graph.DiTSchedule]
     ) -> None:
         self.config = config
         self.params = params
         self.model = PixArtTransformer(config.model)
+        # per-step topology plans (None → sequential blocks)
+        self.plans: list = (
+            dit_schedule.step_plans()
+            if dit_schedule is not None and not dit_schedule.is_default()
+            else [None] * config.num_inference_steps
+        )
         if schedule is None:
             schedule = PixArtCacheSchedule.default(
                 num_inference_steps=config.num_inference_steps,
@@ -98,6 +105,7 @@ class PixArtPipeline:
         mask: StepMask,
         resolution: Optional[jax.Array],
         aspect_ratio: Optional[jax.Array],
+        plan=None,
     ) -> tuple[jax.Array, dict]:
         b = latents.shape[0]
         lat2 = jnp.concatenate([latents, latents], axis=0)
@@ -112,6 +120,7 @@ class PixArtPipeline:
             text_mask=enc_mask2,
             resolution=resolution,
             aspect_ratio=aspect_ratio,
+            plan=plan,
         )
         eps2 = out[..., : self.config.model.in_channels]
         eps_neg, eps_pos = jnp.split(eps2, 2, axis=0)
@@ -150,6 +159,7 @@ class PixArtPipeline:
                     self.masks[i],
                     res,
                     ar,
+                    plan=self.plans[i],
                 )
                 state = dpm_step(self.dpm, i, eps, state)
             return state.x
@@ -255,6 +265,7 @@ def _step_fn(
             mask,
             res,
             ar,
+            plan=pipeline.plans[step_index],
         )
         state = dpm_step(
             dpm, step_index, eps, DPMState(x, prev_x0, have_prev)
