@@ -399,14 +399,11 @@ class FluxTransformer(nn.Module):
                 sinusoidal_embedding(guidance * 1000.0, 256).astype(c.dtype)
             )
             temb = temb + g_emb
-        pooled_emb = nn.Sequential(
-            [
-                _dense(c.dim, "linear_1", in_axis=None, out_axis=EMBED, dtype=c.dtype),
-                nn.silu,
-                _dense(c.dim, "linear_2", in_axis=EMBED, out_axis=None, dtype=c.dtype),
-            ],
-            name="text_embedder",
-        )(pooled)
+        # pooled CLIP projection: linear → silu → linear (the same MLP shape
+        # as TimestepEmbedding, matching diffusers' text_embedder)
+        pooled_emb = TimestepEmbedding(c.dim, c.dtype, name="text_embedder")(
+            pooled
+        )
         temb = temb + pooled_emb
 
         # rope over [text; image] ids
