@@ -61,6 +61,7 @@ class CandidateEvaluator:
         config: EvalConfig | None = None,
         prompt_ids: Optional[Sequence[str]] = None,
         decode_fn: Optional[Callable[[jax.Array], np.ndarray]] = None,
+        mesh=None,  # Optional[jax.sharding.Mesh]: dp-shard the work batch
     ) -> None:
         self.pipeline = pipeline
         self.stepper = SharedModelStepper(pipeline)
@@ -70,6 +71,18 @@ class CandidateEvaluator:
         self.prompt_ids = list(prompt_ids) if prompt_ids else None
         self.config = config or EvalConfig()
         self.decode_fn = decode_fn or latents_to_uint8
+        self.mesh = mesh
+
+    def _shard(self, *arrays):
+        """Place batch-major arrays over the mesh's dp axis (the NSGA-II
+        evaluation load is pleasingly parallel along (prompt × image);
+        SURVEY.md §5). No-op without a mesh."""
+        if self.mesh is None:
+            return arrays
+        from ..parallel import batch_sharding
+
+        bs = batch_sharding(self.mesh)
+        return tuple(jax.device_put(a, bs) for a in arrays)
 
     def _noise_batch(self) -> tuple[jax.Array, jax.Array, jax.Array, list, list]:
         """Expand prompts × images_per_prompt into one batch with the
@@ -111,9 +124,10 @@ class CandidateEvaluator:
         imgs_all = []
         for lo in range(0, len(prompts), bs):
             hi = min(lo + bs, len(prompts))
-            latents = self.stepper.denoise(
-                masks, noise[lo:hi], text[lo:hi], neg[lo:hi]
+            n_b, t_b, g_b = self._shard(
+                noise[lo:hi], text[lo:hi], neg[lo:hi]
             )
+            latents = self.stepper.denoise(masks, n_b, t_b, g_b)
             imgs_all.append(self.decode_fn(latents))
         images = np.concatenate(imgs_all)
         return scorer(images, prompts, ids), images

@@ -110,14 +110,38 @@ def rms_norm(x: jax.Array, scale: jax.Array, eps: float = 1e-6) -> jax.Array:
     return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
 
 
+_ATTENTION_BACKEND = "xla"  # "xla" | "pallas"
+
+
+def set_attention_backend(name: str) -> None:
+    """Select the attention implementation: "xla"
+    (jax.nn.dot_product_attention) or "pallas" (ecad_tpu.ops.fused_attention,
+    the VMEM-resident fused kernel — TPU only). Also settable via
+    ECAD_ATTENTION_BACKEND before import."""
+    global _ATTENTION_BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"unknown attention backend {name!r}")
+    _ATTENTION_BACKEND = name
+
+
+import os as _os  # noqa: E402
+
+if _os.environ.get("ECAD_ATTENTION_BACKEND"):
+    set_attention_backend(_os.environ["ECAD_ATTENTION_BACKEND"])
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     bias: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Fused SDPA over (B, T, H, Dh) tensors. Uses jax.nn.dot_product_attention
-    (flash/splash kernels on TPU where available) with fp32 softmax."""
+    """Fused SDPA over (B, T, H, Dh) tensors with fp32 softmax; backend per
+    set_attention_backend."""
+    if _ATTENTION_BACKEND == "pallas":
+        from ..ops.attention import fused_attention
+
+        return fused_attention(q, k, v, bias=bias)
     return jax.nn.dot_product_attention(q, k, v, bias=bias)
 
 
@@ -126,6 +150,11 @@ class Attention(nn.Module):
     separate q/k/v linears with bias, single out projection with bias.
     Self-attention when `context` is None, cross-attention otherwise.
     Head dimension is sharded over the "tp" mesh axis via logical axes.
+
+    `kv()` exposes the projected keys/values so trajectory-constant
+    cross-attention K/V can be hoisted out of the denoise loop (the
+    reference recomputes them at every step; they depend only on the text
+    encoding). Pass the result back via the `kv=` argument.
     """
 
     dim: int
@@ -135,45 +164,51 @@ class Attention(nn.Module):
     use_bias: bool = True
     out_bias: bool = True
 
-    @nn.compact
+    def setup(self) -> None:
+        inner = self.heads * self.head_dim
+
+        def dense(name, features, in_axis, out_axis, use_bias):
+            return nn.Dense(
+                features,
+                use_bias=use_bias,
+                dtype=self.dtype,
+                kernel_init=with_part(
+                    nn.initializers.normal(0.02), (in_axis, out_axis)
+                ),
+                bias_init=with_part(
+                    nn.initializers.zeros_init(), (out_axis,)
+                ),
+                name=name,
+            )
+
+        self.to_q = dense("to_q", inner, EMBED, HEADS, self.use_bias)
+        self.to_k = dense("to_k", inner, EMBED, HEADS, self.use_bias)
+        self.to_v = dense("to_v", inner, EMBED, HEADS, self.use_bias)
+        self.to_out = dense("to_out", self.dim, HEADS, EMBED, self.out_bias)
+
+    def kv(self, ctx: jax.Array) -> tuple[jax.Array, jax.Array]:
+        b, tk = ctx.shape[:2]
+        k = self.to_k(ctx).reshape(b, tk, self.heads, self.head_dim)
+        v = self.to_v(ctx).reshape(b, tk, self.heads, self.head_dim)
+        return k, v
+
     def __call__(
         self,
         x: jax.Array,
         context: Optional[jax.Array] = None,
         bias: Optional[jax.Array] = None,
+        kv: Optional[tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
-        ctx = x if context is None else context
         inner = self.heads * self.head_dim
-
-        def proj(name: str, y: jax.Array) -> jax.Array:
-            return nn.Dense(
-                inner,
-                use_bias=self.use_bias,
-                dtype=self.dtype,
-                kernel_init=with_part(
-                    nn.initializers.normal(0.02), (EMBED, HEADS)
-                ),
-                bias_init=with_part(nn.initializers.zeros_init(), (HEADS,)),
-                name=name,
-            )(y)
-
-        q = proj("to_q", x)
-        k = proj("to_k", ctx)
-        v = proj("to_v", ctx)
-        b, tq = q.shape[:2]
-        tk = k.shape[1]
-        q = q.reshape(b, tq, self.heads, self.head_dim)
-        k = k.reshape(b, tk, self.heads, self.head_dim)
-        v = v.reshape(b, tk, self.heads, self.head_dim)
+        b, tq = x.shape[:2]
+        q = self.to_q(x).reshape(b, tq, self.heads, self.head_dim)
+        if kv is None:
+            k, v = self.kv(x if context is None else context)
+        else:
+            k, v = kv
         out = dot_product_attention(q, k, v, bias=bias)
         out = out.reshape(b, tq, inner)
-        return nn.Dense(
-            self.dim,
-            use_bias=self.out_bias,
-            dtype=self.dtype,
-            kernel_init=with_part(nn.initializers.normal(0.02), (HEADS, EMBED)),
-            name="to_out",
-        )(out)
+        return self.to_out(out)
 
 
 class FeedForward(nn.Module):

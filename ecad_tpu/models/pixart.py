@@ -149,11 +149,28 @@ class AdaLayerNormSingle(nn.Module):
 class PixArtBlock(nn.Module):
     """One cached transformer block. `mask` is a static (attn1, attn2, ff)
     bool triple; False components read from `cache` instead of computing.
-    Returns the new hidden states and the updated per-component outputs."""
+    Returns the new hidden states and the updated per-component outputs.
+
+    `enc_kv` optionally supplies precomputed cross-attention keys/values
+    (trajectory-constant; see PixArtTransformer.encode_text)."""
 
     config: PixArtConfig
 
-    @nn.compact
+    def setup(self) -> None:
+        c = self.config
+        self.scale_shift_table = self.param(
+            "scale_shift_table",
+            with_part(nn.initializers.normal(1.0 / c.dim**0.5), (None, EMBED)),
+            (6, c.dim),
+            jnp.float32,
+        )
+        self.attn1 = Attention(c.dim, c.num_heads, c.head_dim, dtype=c.dtype)
+        self.attn2 = Attention(c.dim, c.num_heads, c.head_dim, dtype=c.dtype)
+        self.ff = FeedForward(c.dim, c.ff_mult, dtype=c.dtype)
+
+    def cross_kv(self, enc: jax.Array) -> tuple[jax.Array, jax.Array]:
+        return self.attn2.kv(enc)
+
     def __call__(
         self,
         h: jax.Array,  # (B, T, d)
@@ -162,17 +179,12 @@ class PixArtBlock(nn.Module):
         enc_bias: Optional[jax.Array],  # (B, 1, 1, L) additive bias or None
         cache: dict[str, jax.Array],  # component → (B, T, d)
         mask: tuple[bool, bool, bool],
+        enc_kv: Optional[tuple[jax.Array, jax.Array]] = None,
     ) -> tuple[jax.Array, dict[str, jax.Array]]:
         c = self.config
         b = h.shape[0]
-        table = self.param(
-            "scale_shift_table",
-            with_part(nn.initializers.normal(1.0 / c.dim**0.5), (None, EMBED)),
-            (6, c.dim),
-            jnp.float32,
-        )
         mods = (
-            table[None].astype(jnp.float32)
+            self.scale_shift_table[None].astype(jnp.float32)
             + t6.reshape(b, 6, c.dim).astype(jnp.float32)
         ).astype(h.dtype)
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
@@ -184,9 +196,7 @@ class PixArtBlock(nn.Module):
 
         if recompute_attn1:
             norm_h = layer_norm(h) * (1 + scale_msa) + shift_msa
-            a1 = Attention(
-                c.dim, c.num_heads, c.head_dim, dtype=c.dtype, name="attn1"
-            )(norm_h)
+            a1 = self.attn1(norm_h)
         else:
             a1 = cache["attn1"]
         new_cache["attn1"] = a1
@@ -195,9 +205,7 @@ class PixArtBlock(nn.Module):
         if recompute_attn2:
             # ada_norm_single skips norm2 before cross-attention
             # (cached_transformer_block.py:263-266)
-            a2 = Attention(
-                c.dim, c.num_heads, c.head_dim, dtype=c.dtype, name="attn2"
-            )(h, context=enc, bias=enc_bias)
+            a2 = self.attn2(h, context=enc, bias=enc_bias, kv=enc_kv)
         else:
             a2 = cache["attn2"]
         new_cache["attn2"] = a2
@@ -205,7 +213,7 @@ class PixArtBlock(nn.Module):
 
         if recompute_ff:
             norm_h = layer_norm(h) * (1 + scale_mlp) + shift_mlp
-            f = FeedForward(c.dim, c.ff_mult, dtype=c.dtype, name="ff")(norm_h)
+            f = self.ff(norm_h)
         else:
             f = cache["ff"]
         new_cache["ff"] = f
@@ -270,10 +278,22 @@ class PixArtTransformer(nn.Module):
         x = x.transpose(0, 1, 3, 2, 4, 5)
         return x.reshape(b, gh * p, gw * p, c.out_channels)
 
+    def encode_text(
+        self, text_embeds: jax.Array
+    ) -> tuple[jax.Array, tuple]:
+        """Trajectory-constant text work, hoisted out of the denoise loop:
+        caption projection + every block's cross-attention K/V. Call via
+        `model.apply(vars, text, method=PixArtTransformer.encode_text)` once
+        per trajectory; feed the result back through `text_precomputed`.
+        (The reference recomputes these at all 20 steps.)"""
+        enc = self.caption_projection(text_embeds)
+        enc_kv = tuple(block.cross_kv(enc) for block in self.blocks)
+        return enc, enc_kv
+
     def __call__(
         self,
         latents: jax.Array,  # (B, H, W, C) NHWC
-        text_embeds: jax.Array,  # (B, L, caption_dim)
+        text_embeds: jax.Array,  # (B, L, caption_dim) — or projected, see below
         timestep: jax.Array,  # (B,)
         cache: dict[str, tuple],  # component → tuple of (B, T, d) per block
         mask: StepMask,
@@ -281,6 +301,7 @@ class PixArtTransformer(nn.Module):
         resolution: Optional[jax.Array] = None,
         aspect_ratio: Optional[jax.Array] = None,
         plan: Optional[tuple] = None,
+        text_precomputed: Optional[tuple] = None,  # (enc, enc_kv) from encode_text
     ) -> tuple[jax.Array, dict[str, jax.Array]]:
         c = self.config
         b, hh, ww, _ = latents.shape
@@ -288,7 +309,11 @@ class PixArtTransformer(nn.Module):
 
         h = self.patchify(latents)
         t6, emb_t = self.adaln_single(timestep, resolution, aspect_ratio)
-        enc = self.caption_projection(text_embeds)
+        if text_precomputed is not None:
+            enc, enc_kv = text_precomputed
+        else:
+            enc = self.caption_projection(text_embeds)
+            enc_kv = None
         enc_bias = None
         if text_mask is not None:
             enc_bias = ((1.0 - text_mask.astype(jnp.float32)) * -10000.0)[
@@ -296,7 +321,7 @@ class PixArtTransformer(nn.Module):
             ].astype(h.dtype)
 
         h, new_cache = run_block_stage(
-            self.blocks, h, enc, t6, enc_bias, cache, mask, plan
+            self.blocks, h, enc, t6, enc_bias, cache, mask, plan, enc_kv
         )
 
         # final modulated projection (pixart_transformer_2d_edited.py:332-376)
@@ -319,6 +344,7 @@ def run_block_stage(
     cache: dict[str, jax.Array],
     mask: StepMask,
     plan: Optional[tuple] = None,
+    enc_kv: Optional[tuple] = None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Run the block stage. `plan` is a trace-time execution plan from the
     DiT topology DSL (default: sequential 0..N-1); each entry is a block
@@ -331,7 +357,10 @@ def run_block_stage(
 
     def block_apply(i: int, x: jax.Array) -> jax.Array:
         block_cache = {k: new_rows[k][i] for k in COMPONENTS}
-        x, updated = blocks[i](x, enc, t6, enc_bias, block_cache, mask[i])
+        x, updated = blocks[i](
+            x, enc, t6, enc_bias, block_cache, mask[i],
+            enc_kv=None if enc_kv is None else enc_kv[i],
+        )
         for k in COMPONENTS:
             new_rows[k][i] = updated[k]
         return x

@@ -134,5 +134,6 @@ class PassThroughPixArtPipeline(PixArtPipeline):
     ecad/pipelines/pass_through.py:31-47)."""
 
     def _model_eps(self, params, latents, enc2, enc_mask2, t_value, cache,
-                   mask, resolution, aspect_ratio, plan=None):
+                   mask, resolution, aspect_ratio, plan=None,
+                   text_precomputed=None):
         return jnp.zeros_like(latents), cache

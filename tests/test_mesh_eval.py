@@ -1,0 +1,52 @@
+"""Mesh-sharded candidate evaluation on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ecad_tpu.genetic import CandidateEvaluator, EvalConfig
+from ecad_tpu.models import PixArtConfig, init_params
+from ecad_tpu.parallel import create_mesh, shard_params
+from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
+from ecad_tpu.schedules import PixArtCacheSchedule
+
+STEPS = 3
+
+
+def test_dp_sharded_evaluation_matches_single_device():
+    config = PixArtConfig.tiny(dtype=jnp.float32)
+    _, params = init_params(config, 0)
+    pcfg = PixArtPipelineConfig(model=config, num_inference_steps=STEPS)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    p = 8  # one prompt per dp shard
+    text = jax.random.normal(k1, (p, config.text_len, config.caption_dim))
+    neg = jax.random.normal(k2, (p, config.text_len, config.caption_dim))
+    prompts = [f"p{i}" for i in range(p)]
+
+    rng = np.random.default_rng(0)
+    sched = PixArtCacheSchedule.from_numpy(
+        rng.random(STEPS * config.num_blocks * 3) < 0.5, STEPS,
+        config.num_blocks,
+    )
+
+    plain = CandidateEvaluator(
+        PixArtPipeline(pcfg, params), text, neg, prompts, EvalConfig()
+    )
+    scores_plain, images_plain = plain.evaluate_candidate(sched)
+
+    mesh = create_mesh(dp=8, tp=1)
+    sharded_params = shard_params(params, mesh)
+    with mesh:
+        sharded = CandidateEvaluator(
+            PixArtPipeline(pcfg, sharded_params), text, neg, prompts,
+            EvalConfig(), mesh=mesh,
+        )
+        scores_sharded, images_sharded = sharded.evaluate_candidate(sched)
+
+    np.testing.assert_allclose(
+        images_plain.astype(np.int32), images_sharded.astype(np.int32),
+        atol=1,
+    )
+    assert scores_plain["total_score"] == scores_sharded["total_score"]
