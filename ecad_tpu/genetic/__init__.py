@@ -17,3 +17,6 @@ __all__ = [
     "EvalConfig",
     "latents_to_uint8",
 ]
+from .problems import CachingScheduleProblem, flux_problem, pixart_problem
+
+__all__ += ["CachingScheduleProblem", "pixart_problem", "flux_problem"]

@@ -45,6 +45,12 @@ class EvalConfig:
     seed_step: int = 1
     scorer: str = "mock"
     batch_size: int = 0  # 0 → all (prompts × images) in one device batch
+    # "stepwise": per-(step, mask) specialized programs, memoized across the
+    #   population — maximum throughput when patterns repeat.
+    # "dynamic": ONE lax.cond program for every schedule — no per-candidate
+    #   compilation at all; the right default for evolving populations whose
+    #   masks are novel each generation.
+    mode: str = "dynamic"
 
 
 class CandidateEvaluator:
@@ -65,6 +71,9 @@ class CandidateEvaluator:
     ) -> None:
         self.pipeline = pipeline
         self.stepper = SharedModelStepper(pipeline)
+        from ..pipelines.pixart_pipeline import PopulationDenoiser
+
+        self.dynamic = PopulationDenoiser(pipeline)
         self.text = text
         self.neg = neg
         self.prompts = list(prompts)
@@ -116,18 +125,24 @@ class CandidateEvaluator:
         )
 
     def evaluate_candidate(self, schedule) -> tuple[dict, np.ndarray]:
-        masks = self._schedule_masks(schedule)
+        if self.config.mode == "dynamic":
+            from ..models.pixart import schedule_mask_array
+
+            masks = schedule_mask_array(schedule, self.pipeline.config.model)
+            denoise = self.dynamic.denoise
+        else:
+            masks = self._schedule_masks(schedule)
+            denoise = self.stepper.denoise
         noise, text, neg, prompts, ids = self._noise_batch()
         scorer = get_scorer(self.config.scorer)
         bs = self.config.batch_size or len(prompts)
-        all_scores: list[dict] = []
         imgs_all = []
         for lo in range(0, len(prompts), bs):
             hi = min(lo + bs, len(prompts))
             n_b, t_b, g_b = self._shard(
                 noise[lo:hi], text[lo:hi], neg[lo:hi]
             )
-            latents = self.stepper.denoise(masks, n_b, t_b, g_b)
+            latents = denoise(masks, n_b, t_b, g_b)
             imgs_all.append(self.decode_fn(latents))
         images = np.concatenate(imgs_all)
         return scorer(images, prompts, ids), images
@@ -230,6 +245,8 @@ class FluxCandidateEvaluator(CandidateEvaluator):
         from ..models.flux import unpack_latents
         from ..scoring import get_scorer
 
+        # dynamic single-program mode is pixart-only so far; flux uses the
+        # memoized stepwise programs
         masks = self._schedule_masks(schedule)
         noise, text, pooled, prompts, ids = self._noise_batch()
         scorer = get_scorer(self.config.scorer)

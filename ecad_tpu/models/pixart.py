@@ -99,12 +99,29 @@ def schedule_step_masks(schedule, config: PixArtConfig) -> list[StepMask]:
     masks = []
     for step in range(arr.shape[0]):
         if step == 0:
+            if not arr[0].all():
+                # the reference warns at runtime on reuse-before-compute
+                # ("No cached X found. Recomputing.",
+                # cached_transformer_block.py:344-345); we resolve it at
+                # schedule-compile time instead.
+                print(
+                    f"WARNING: schedule {schedule.name!r} requests cache "
+                    "reuse at step 0 (no cache exists yet) — recomputing."
+                )
             masks.append(full_step_mask(config))
         else:
             masks.append(
                 tuple(tuple(bool(v) for v in row) for row in arr[step])
             )
     return masks
+
+
+def schedule_mask_array(schedule, config: PixArtConfig) -> np.ndarray:
+    """Schedule → (steps, blocks, 3) bool array with step-0 forcing, for the
+    dynamic single-program population denoiser."""
+    arr = np.array(schedule.to_numpy(), dtype=bool)
+    arr[0] = True
+    return arr
 
 
 class AdaLayerNormSingle(nn.Module):
@@ -191,31 +208,48 @@ class PixArtBlock(nn.Module):
             mods[:, i : i + 1] for i in range(6)
         )
 
-        recompute_attn1, recompute_attn2, recompute_ff = mask
+        recompute_attn1, recompute_attn2, recompute_ff = (
+            mask[0], mask[1], mask[2]
+        )
+        dynamic = isinstance(recompute_attn1, jax.Array)
         new_cache = {}
 
-        if recompute_attn1:
-            norm_h = layer_norm(h) * (1 + scale_msa) + shift_msa
-            a1 = self.attn1(norm_h)
-        else:
-            a1 = cache["attn1"]
+        def pick(flag, compute_fn, cached):
+            """Static flags specialize the graph (cached components absent
+            from the compiled program); traced flags lower to lax.cond — ONE
+            compiled program for every schedule, with the untaken branch
+            skipped at runtime (the population-evaluation mode)."""
+            if not dynamic:
+                return compute_fn() if flag else cached
+            return jax.lax.cond(flag, compute_fn, lambda: cached)
+
+        a1 = pick(
+            recompute_attn1,
+            lambda: self.attn1(layer_norm(h) * (1 + scale_msa) + shift_msa),
+            cache["attn1"],
+        )
         new_cache["attn1"] = a1
         h = gate_msa * a1 + h
 
-        if recompute_attn2:
-            # ada_norm_single skips norm2 before cross-attention
-            # (cached_transformer_block.py:263-266)
-            a2 = self.attn2(h, context=enc, bias=enc_bias, kv=enc_kv)
-        else:
-            a2 = cache["attn2"]
+        # ada_norm_single skips norm2 before cross-attention
+        # (cached_transformer_block.py:263-266)
+        h_for_a2 = h
+        a2 = pick(
+            recompute_attn2,
+            lambda: self.attn2(h_for_a2, context=enc, bias=enc_bias, kv=enc_kv),
+            cache["attn2"],
+        )
         new_cache["attn2"] = a2
         h = a2 + h
 
-        if recompute_ff:
-            norm_h = layer_norm(h) * (1 + scale_mlp) + shift_mlp
-            f = self.ff(norm_h)
-        else:
-            f = cache["ff"]
+        h_for_ff = h
+        f = pick(
+            recompute_ff,
+            lambda: self.ff(
+                layer_norm(h_for_ff) * (1 + scale_mlp) + shift_mlp
+            ),
+            cache["ff"],
+        )
         new_cache["ff"] = f
         h = gate_mlp * f + h
         return h, new_cache

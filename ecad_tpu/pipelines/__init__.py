@@ -1,6 +1,7 @@
 from .pixart_pipeline import (
     PixArtPipeline,
     PixArtPipelineConfig,
+    PopulationDenoiser,
     SharedModelStepper,
 )
 from .samplers import (
@@ -15,6 +16,7 @@ from .samplers import (
 
 __all__ = [
     "PixArtPipeline",
+    "PopulationDenoiser",
     "PixArtPipelineConfig",
     "SharedModelStepper",
     "DPMSolverSchedule",

@@ -295,6 +295,94 @@ def _step_fn(
     return jax.jit(step, donate_argnums=(1, 5))
 
 
+class PopulationDenoiser:
+    """ONE compiled program for the entire candidate population.
+
+    The per-step recompute masks arrive as a traced (steps, blocks, 3) bool
+    array; every cacheable component lowers to lax.cond, so the untaken
+    branch is skipped at RUNTIME while the program compiles exactly once —
+    resolving the per-schedule-recompilation tension of the specialized
+    modes (SURVEY.md §7 "hard parts"). The step loop is a lax.scan with the
+    DPM coefficients as scanned inputs, keeping the program ~20× smaller
+    than the unrolled trace.
+
+    Trade-off: per-cond dispatch overhead and no cross-step fusion —
+    schedule-faithful compute skipping, slightly lower peak throughput than
+    the specialized unrolled program. Use this for NSGA-II generations
+    (hundreds of distinct schedules), the unrolled mode for serving a
+    single schedule.
+    """
+
+    def __init__(self, pipeline: "PixArtPipeline"):
+        self.pipeline = pipeline
+        self._fn_cache: dict[tuple, Callable] = {}
+
+    def _build(self, with_enc_mask: bool) -> Callable:
+        p = self.pipeline
+        from .samplers import dpm_scan_coeffs
+
+        coeffs = jnp.asarray(dpm_scan_coeffs(p.dpm), jnp.float32)
+
+        def denoise(params, masks, noise, text, neg, text_mask, neg_mask):
+            b = noise.shape[0]
+            enc2 = jnp.concatenate([neg, text], axis=0)
+            enc_mask2 = None
+            if with_enc_mask:
+                enc_mask2 = jnp.concatenate([neg_mask, text_mask], axis=0)
+            res, ar = p._additional_conditions(2 * b, noise.dtype)
+            tokens = (noise.shape[1] // p.config.model.patch_size) * (
+                noise.shape[2] // p.config.model.patch_size
+            )
+            cache = init_cache(p.config.model, 2 * b, tokens)
+            text_pre = p.model.apply(
+                {"params": params}, enc2,
+                method=PixArtTransformer.encode_text,
+            )
+            x0_init = jnp.zeros_like(noise, jnp.float32)
+
+            def body(carry, inp):
+                x, prev_x0, cache = carry
+                mask_row, co = inp
+                t_val, sigma_t, alpha_t, c0, c1, d0, d1 = (
+                    co[0], co[1], co[2], co[3], co[4], co[5], co[6]
+                )
+                lat2 = jnp.concatenate([x, x], axis=0)
+                t = jnp.full((2 * b,), t_val, jnp.float32)
+                out, cache = p.model.apply(
+                    {"params": params}, lat2, enc2, t, cache, mask_row,
+                    text_mask=enc_mask2, resolution=res, aspect_ratio=ar,
+                    text_precomputed=text_pre,
+                )
+                eps2 = out[..., : p.config.model.in_channels]
+                eps_neg, eps_pos = jnp.split(eps2, 2, axis=0)
+                eps = eps_neg + p.config.guidance_scale * (eps_pos - eps_neg)
+                x32 = x.astype(jnp.float32)
+                x0 = (x32 - sigma_t * eps.astype(jnp.float32)) / alpha_t
+                d = d0 * x0 + d1 * prev_x0
+                new_x = (c0 * x32 - c1 * d).astype(x.dtype)
+                return (new_x, x0, cache), None
+
+            init = (noise * p.dpm.init_noise_sigma, x0_init, cache)
+            (x, _, _), _ = jax.lax.scan(body, init, (masks, coeffs))
+            return x
+
+        # no donation: callers reuse the same noise across candidates
+        return jax.jit(denoise)
+
+    def denoise(
+        self, masks, noise, text, neg, text_mask=None, neg_mask=None
+    ) -> jax.Array:
+        """masks: (steps, blocks, 3) bool array (step-0 row should be all
+        True — apply schedule_step_masks/step-0 forcing upstream)."""
+        key = (noise.shape, text.shape, text_mask is not None)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._build(text_mask is not None)
+        return self._fn_cache[key](
+            self.pipeline.params, jnp.asarray(masks), noise, text, neg,
+            text_mask, neg_mask,
+        )
+
+
 # NOTE: _step_fn keys on the pipeline object; pipelines for different
 # schedules of the same model/params would defeat sharing. Population
 # evaluation therefore uses one pipeline per *model* and passes masks:

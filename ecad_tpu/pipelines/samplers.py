@@ -155,3 +155,37 @@ def flow_step(
     return (x.astype(jnp.float32) + dt * velocity.astype(jnp.float32)).astype(
         x.dtype
     )
+
+
+def dpm_scan_coeffs(schedule: DPMSolverSchedule) -> np.ndarray:
+    """Per-step update coefficients for a scan-form DPM-Solver++ 2M loop:
+
+        x_next = c0·x − c1·(d0·x0 + d1·prev_x0)
+
+    where x0 = (x − sigma_t·eps)/alpha_t, the first step is first-order
+    (d0=1, d1=0) and the final step integrates to sigma=0 (c0=0, c1=−1 ⇒
+    x_next = x0). Returns (steps, 7):
+    [timestep, sigma_t, alpha_t, c0, c1, d0, d1]."""
+    import math as _math
+
+    s = schedule
+    n = s.num_steps
+    out = np.zeros((n, 7), dtype=np.float64)
+    for i in range(n):
+        out[i, 0] = s.timesteps[i]
+        out[i, 1] = s.sigma_t[i]
+        out[i, 2] = s.alpha_t[i]
+        if i == n - 1:
+            out[i, 3:] = (0.0, -1.0, 1.0, 0.0)
+            continue
+        h = s.lambda_t[i + 1] - s.lambda_t[i]
+        c0 = s.sigma_t[i + 1] / s.sigma_t[i]
+        c1 = s.alpha_t[i + 1] * (_math.exp(-h) - 1.0)
+        if i == 0:
+            d0, d1 = 1.0, 0.0
+        else:
+            r = (s.lambda_t[i] - s.lambda_t[i - 1]) / h
+            d0 = 1.0 + 1.0 / (2.0 * r)
+            d1 = -1.0 / (2.0 * r)
+        out[i, 3:] = (c0, c1, d0, d1)
+    return out
