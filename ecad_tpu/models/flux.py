@@ -45,6 +45,15 @@ FULL_COMPONENTS = ("full_attn", "full_ff", "full_ff_context")
 SINGLE_COMPONENTS = ("single_attn", "single_proj_mlp", "single_proj_out")
 
 
+def _pick(flag, compute_fn, cached):
+    """Static flags specialize the compiled graph; traced flags lower to
+    lax.cond (one program for all schedules, untaken branch skipped at
+    runtime). `cached` may be a pytree (the dual-attn pair)."""
+    if not isinstance(flag, jax.Array):
+        return compute_fn() if flag else cached
+    return jax.lax.cond(flag, compute_fn, lambda: cached)
+
+
 @dataclass(frozen=True)
 class FluxConfig:
     dim: int = 3072
@@ -270,7 +279,9 @@ class FluxDualBlock(nn.Module):
         mask: tuple[bool, bool, bool],  # (full_attn, full_ff, full_ff_context)
     ):
         c = self.config
-        recompute_attn, recompute_ff, recompute_ffc = mask
+        recompute_attn, recompute_ff, recompute_ffc = (
+            mask[0], mask[1], mask[2]
+        )
         new_cache = {}
 
         norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaNorm(
@@ -280,37 +291,40 @@ class FluxDualBlock(nn.Module):
             c.dim, 6, c.dtype, name="norm1_context"
         )(txt, temb)
 
-        if recompute_attn:
-            attn_out, ctx_attn_out = FluxJointAttention(c, name="attn")(
+        attn_out, ctx_attn_out = _pick(
+            recompute_attn,
+            lambda: FluxJointAttention(c, name="attn")(
                 norm_img, norm_txt, cos, sin
-            )
-        else:
-            attn_out, ctx_attn_out = cache["full_attn"]
+            ),
+            cache["full_attn"],
+        )
         new_cache["full_attn"] = (attn_out, ctx_attn_out)
 
         img = img + gate_msa * attn_out
         norm_img2 = layer_norm(img) * (1 + scale_mlp) + shift_mlp
-        if recompute_ff:
+
+        def compute_ff():
             ff = _dense(c.dim * c.mlp_ratio, "ff_in", out_axis=MLP, dtype=c.dtype)(norm_img2)
             ff = nn.gelu(ff, approximate=True)
-            ff = _dense(c.dim, "ff_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype)(ff)
-        else:
-            ff = cache["full_ff"]
+            return _dense(c.dim, "ff_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype)(ff)
+
+        ff = _pick(recompute_ff, compute_ff, cache["full_ff"])
         new_cache["full_ff"] = ff
         img = img + gate_mlp * ff
 
         txt = txt + c_gate_msa * ctx_attn_out
         norm_txt2 = layer_norm(txt) * (1 + c_scale_mlp) + c_shift_mlp
-        if recompute_ffc:
+
+        def compute_ffc():
             ffc = _dense(
                 c.dim * c.mlp_ratio, "ff_context_in", out_axis=MLP, dtype=c.dtype
             )(norm_txt2)
             ffc = nn.gelu(ffc, approximate=True)
-            ffc = _dense(
+            return _dense(
                 c.dim, "ff_context_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype
             )(ffc)
-        else:
-            ffc = cache["full_ff_context"]
+
+        ffc = _pick(recompute_ffc, compute_ffc, cache["full_ff_context"])
         new_cache["full_ff_context"] = ffc
         txt = txt + c_gate_mlp * ffc
         return img, txt, new_cache
@@ -330,33 +344,37 @@ class FluxSingleBlock(nn.Module):
         mask: tuple[bool, bool, bool],  # (attn, proj_mlp, proj_out)
     ):
         c = self.config
-        recompute_attn, recompute_mlp, recompute_out = mask
+        recompute_attn, recompute_mlp, recompute_out = (
+            mask[0], mask[1], mask[2]
+        )
         new_cache = {}
         residual = x
         normed, gate = AdaNorm(c.dim, 3, c.dtype, name="norm")(x, temb)
 
-        if recompute_mlp:
-            mlp = _dense(
+        mlp = _pick(
+            recompute_mlp,
+            lambda: _dense(
                 c.dim * c.mlp_ratio, "proj_mlp", out_axis=MLP, dtype=c.dtype
-            )(normed)
-        else:
-            mlp = cache["single_proj_mlp"]
+            )(normed),
+            cache["single_proj_mlp"],
+        )
         new_cache["single_proj_mlp"] = mlp  # cached PRE-activation
         mlp_act = nn.gelu(mlp, approximate=True)
 
-        if recompute_attn:
-            attn = FluxSingleAttention(c, name="attn")(normed, cos, sin)
-        else:
-            attn = cache["single_attn"]
+        attn = _pick(
+            recompute_attn,
+            lambda: FluxSingleAttention(c, name="attn")(normed, cos, sin),
+            cache["single_attn"],
+        )
         new_cache["single_attn"] = attn
 
-        if recompute_out:
+        def compute_out():
             joint = jnp.concatenate([attn, mlp_act], axis=-1)
-            out = _dense(
+            return _dense(
                 c.dim, "proj_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype
             )(joint)
-        else:
-            out = cache["single_proj_out"]
+
+        out = _pick(recompute_out, compute_out, cache["single_proj_out"])
         new_cache["single_proj_out"] = out
 
         return residual + gate * out, new_cache
