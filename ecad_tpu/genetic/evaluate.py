@@ -197,10 +197,14 @@ class FluxCandidateEvaluator(CandidateEvaluator):
         prompt_ids=None,
         decode_fn=None,
     ) -> None:
-        from ..pipelines.flux_pipeline import SharedFluxStepper
+        from ..pipelines.flux_pipeline import (
+            FluxPopulationDenoiser,
+            SharedFluxStepper,
+        )
 
         self.pipeline = pipeline
         self.stepper = SharedFluxStepper(pipeline)
+        self.dynamic = FluxPopulationDenoiser(pipeline)
         self.text = text
         self.pooled = pooled
         self.prompts = list(prompts)
@@ -245,9 +249,17 @@ class FluxCandidateEvaluator(CandidateEvaluator):
         from ..models.flux import unpack_latents
         from ..scoring import get_scorer
 
-        # dynamic single-program mode is pixart-only so far; flux uses the
-        # memoized stepwise programs
-        masks = self._schedule_masks(schedule)
+        if self.config.mode == "dynamic":
+            c = self.pipeline.config.model
+            n_slots = c.num_blocks + c.num_single_blocks
+            masks = np.array(schedule.mask, dtype=bool).reshape(
+                schedule.num_inference_steps, n_slots, 3
+            ).copy()
+            masks[0] = True  # step-0 cache-miss forcing
+            denoise = self.dynamic.denoise
+        else:
+            masks = self._schedule_masks(schedule)
+            denoise = self.stepper.denoise
         noise, text, pooled, prompts, ids = self._noise_batch()
         scorer = get_scorer(self.config.scorer)
         bs = self.config.batch_size or len(prompts)
@@ -255,7 +267,7 @@ class FluxCandidateEvaluator(CandidateEvaluator):
         imgs_all = []
         for lo in range(0, len(prompts), bs):
             hi = min(lo + bs, len(prompts))
-            packed = self.stepper.denoise(
+            packed = denoise(
                 masks, noise[lo:hi], text[lo:hi], pooled[lo:hi]
             )
             imgs_all.append(

@@ -166,3 +166,77 @@ class SharedFluxStepper:
             return p.denoise_stepwise(noise, txt, pooled)
         finally:
             p.masks = saved
+
+
+class FluxPopulationDenoiser:
+    """ONE compiled program for an entire FLUX candidate population: masks
+    arrive as a traced (steps, blocks+single_blocks, 3) bool array (lax.cond
+    per component), with the flow-match Euler loop as a lax.scan over
+    (mask_row, timestep, dt). See PopulationDenoiser for the rationale."""
+
+    def __init__(self, pipeline: FluxPipeline):
+        self.pipeline = pipeline
+        self._fn_cache: dict[tuple, Callable] = {}
+
+    def _build(self) -> Callable:
+        p = self.pipeline
+        import numpy as np
+
+        flow = p.flow
+        t_scan = jnp.asarray(flow.timesteps / 1000.0, jnp.float32)
+        dt_scan = jnp.asarray(np.diff(flow.sigmas), jnp.float32)
+
+        def denoise(params, masks, noise, txt, pooled):
+            b = noise.shape[0]
+            g = (
+                jnp.full((b,), p.config.guidance_scale, jnp.float32)
+                if p.config.model.guidance_embeds
+                else None
+            )
+            c = p.config.model
+            n_slots = c.num_blocks + c.num_single_blocks
+            t_img = noise.shape[1]
+            s = c.text_len + t_img
+            # dense cache init (the cond path needs every entry present)
+            cache = {}
+            for i in range(c.num_blocks):
+                z = jnp.zeros((b, t_img, c.dim), c.dtype)
+                zt = jnp.zeros((b, c.text_len, c.dim), c.dtype)
+                cache[f"full_attn_{i}"] = (z, zt)
+                cache[f"full_ff_{i}"] = z
+                cache[f"full_ff_context_{i}"] = zt
+            zj = jnp.zeros((b, s, c.dim), c.dtype)
+            for i in range(c.num_single_blocks):
+                cache[f"single_attn_{i}"] = zj
+                cache[f"single_proj_mlp_{i}"] = jnp.zeros(
+                    (b, s, c.dim * c.mlp_ratio), c.dtype
+                )
+                cache[f"single_proj_out_{i}"] = zj
+
+            def body(carry, inp):
+                x, cache = carry
+                mask_row, t_val, dt = inp
+                t = jnp.full((b,), t_val, jnp.float32)
+                v, cache = p.model.apply(
+                    {"params": params}, x, txt, pooled, t, g, cache,
+                    mask_row, p.config.grid_hw,
+                )
+                new_x = (
+                    x.astype(jnp.float32) + dt * v.astype(jnp.float32)
+                ).astype(x.dtype)
+                return (new_x, cache), None
+
+            (x, _), _ = jax.lax.scan(
+                body, (noise, cache), (masks, t_scan, dt_scan)
+            )
+            return x
+
+        return jax.jit(denoise)
+
+    def denoise(self, masks, noise, txt, pooled) -> jax.Array:
+        key = (noise.shape, txt.shape)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._build()
+        return self._fn_cache[key](
+            self.pipeline.params, jnp.asarray(masks), noise, txt, pooled
+        )

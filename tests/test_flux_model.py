@@ -160,3 +160,36 @@ def test_tiny_flux_generator(tmp_path):
     imgs = gen.generate_images(embs, images_per_prompt=1, output_dir=tmp_path)
     assert len(imgs) == 2
     assert len(list(tmp_path.glob("*.png"))) == 2
+
+
+def test_flux_population_denoiser_matches(tiny):
+    from ecad_tpu.pipelines.flux_pipeline import FluxPopulationDenoiser
+
+    config, _, params = tiny
+    rng = np.random.default_rng(11)
+    n_slots = (config.num_blocks + config.num_single_blocks) * 3
+    pcfg = FluxPipelineConfig(
+        model=config, num_inference_steps=STEPS, height=64, width=64
+    )
+    base = FluxPipeline(pcfg, params)
+    den = FluxPopulationDenoiser(base)
+    _, txt, pooled, _, _ = _inputs(config)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(3), (2, pcfg.image_seq_len, config.in_channels)
+    )
+    for trial in range(2):
+        genome = rng.random(STEPS * n_slots) < 0.5
+        sched = FluxCacheSchedule.from_numpy(
+            genome, STEPS, config.num_blocks,
+            num_single_blocks=config.num_single_blocks,
+        )
+        spec = FluxPipeline(pcfg, params, sched)
+        want = spec.build_denoise_fn(donate=False)(params, noise, txt, pooled)
+        masks = np.array(sched.mask, dtype=bool).reshape(STEPS, -1, 3)
+        masks[0] = True
+        got = den.denoise(masks, noise, txt, pooled)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4,
+            err_msg=f"trial {trial}",
+        )
+    assert len(den._fn_cache) == 1
