@@ -43,10 +43,12 @@ def generate_for_schedule(
             p.unlink()
 
     if shared_gen is not None:
-        # swap schedule masks on the resident pipeline
+        # swap schedule masks on the resident model; stepwise execution
+        # shares compiled step programs across the whole schedule tree
         gen = shared_gen
         gen.cache_schedule = gen.schedule_cls.from_json(schedule_path)
-        gen._pipeline = None  # re-specialize; step programs stay memoized
+        gen._pipeline = None
+        gen.execution_mode = "stepwise"
     else:
         gen = gen_type(
             start_seed=args.start_seed,

@@ -27,11 +27,15 @@ FILENAME_PATTERN_PARTI = re.compile(
     r"(?P<prompt_num>\d+)__prompt_seed:(?P<prompt_seed>.+?)__image_seed:(?P<image_seed>\d+)"
 )
 FILENAME_PATTERN_TOCA = re.compile(r"(?P<prompt_num>\d+)__.*")
+FILENAME_PATTERN_TOCA_SEEDED = re.compile(
+    r"(?P<prompt_num>\d+)__.*?image_seed:(?P<image_seed>\d+)"
+)
 
 NAMING_MODES = {
     "image_reward": FILENAME_PATTERN,
     "parti": FILENAME_PATTERN_PARTI,
     "toca": FILENAME_PATTERN_TOCA,
+    "toca_seeded": FILENAME_PATTERN_TOCA_SEEDED,
 }
 
 

@@ -48,9 +48,11 @@ class EvalConfig:
     # "stepwise": per-(step, mask) specialized programs, memoized across the
     #   population — maximum throughput when patterns repeat.
     # "dynamic": ONE lax.cond program for every schedule — no per-candidate
-    #   compilation at all; the right default for evolving populations whose
-    #   masks are novel each generation.
-    mode: str = "dynamic"
+    #   compilation at all; the right choice for evolving populations whose
+    #   masks are novel each generation on standard TPU runtimes.
+    #   NOTE: remote-compile TPU tunnels (axon) currently stall on
+    #   cond-heavy programs — default stays "stepwise" until that clears.
+    mode: str = "stepwise"
 
 
 class CandidateEvaluator:

@@ -62,6 +62,9 @@ class ImageGenerator(ABC):
         self.num_inference_steps = (
             num_inference_steps or self.default_num_inference_steps
         )
+        # "unrolled" (serve one schedule, max fusion) or "stepwise" (share
+        # compiled step programs across many schedules, e.g. schedule trees)
+        self.execution_mode = "unrolled"
 
         self.transformer_weights = self.default_transformer_weights
         self.pipeline_weights = self.default_pipeline_weights

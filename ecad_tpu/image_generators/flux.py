@@ -122,7 +122,9 @@ class FluxImageGenerator(ImageGenerator):
         pooled = jnp.stack(
             [jnp.asarray(e["pooled_prompt_embeds"], dt) for e in embeddings]
         )
-        return pipe.generate_latents(txt, pooled, seed=seed)
+        return pipe.generate_latents(
+            txt, pooled, seed=seed, mode=self.execution_mode
+        )
 
     def decode_latents(self, latents) -> np.ndarray:
         if not self.random_weights and self.weights_root is not None:

@@ -129,7 +129,8 @@ class PixArtImageGenerator(ImageGenerator):
                 ]
             )
         return pipe.generate_latents(
-            text, neg, seed=seed, text_mask=tm, neg_mask=nm
+            text, neg, seed=seed, text_mask=tm, neg_mask=nm,
+            mode=self.execution_mode,
         )
 
     def decode_latents(self, latents) -> np.ndarray:

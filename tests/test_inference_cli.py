@@ -1,0 +1,74 @@
+"""inference CLI end-to-end through a real subprocess (tiny generators)."""
+
+import subprocess
+import sys
+
+ENV = {
+    "JAX_PLATFORMS": "cpu",
+    "PATH": "/usr/bin:/bin:/usr/local/bin",
+    "HOME": "/root",
+}
+
+
+def _run(args, timeout=420):
+    return subprocess.run(
+        [sys.executable, "-m", "ecad_tpu.inference.cli", *args],
+        capture_output=True, text=True, env=ENV, timeout=timeout,
+        cwd="/root/repo",
+    )
+
+
+def test_prompt_to_image(tmp_path):
+    r = _run(
+        [
+            "TinyPixArtImageGenerator",
+            "--prompt", "a tiny test image",
+            "--output-dir", str(tmp_path),
+            "--num-inference-steps", "2",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert list((tmp_path / "embeddings").glob("*.pt"))
+    pngs = list((tmp_path / "images").glob("*.png"))
+    assert len(pngs) == 1 and "__image_seed:000" in pngs[0].name
+
+
+def test_prompt_file_multiple_images(tmp_path):
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("first prompt\nsecond prompt\n")
+    r = _run(
+        [
+            "TinyPixArtImageGenerator",
+            "--prompt-file", str(pf),
+            "--output-dir", str(tmp_path / "out"),
+            "--num-inference-steps", "2",
+            "--images-per-prompt", "2",
+            "--start-seed", "5",
+            "--seed-step", "3",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    pngs = sorted((tmp_path / "out" / "images").glob("*.png"))
+    assert len(pngs) == 4
+    seeds = sorted({p.name.split("image_seed:")[1][:3] for p in pngs})
+    assert seeds == ["005", "008"]  # start 5, step 3
+
+
+def test_guidance_override_rejected():
+    r = _run(
+        [
+            "TinyPixArtImageGenerator",
+            "--prompt", "x",
+            "--guidance-scale", "7.0",
+        ]
+    )
+    assert r.returncode != 0
+    assert "does not support --guidance-scale" in (r.stderr + r.stdout)
+
+
+def test_mutually_exclusive_sources():
+    r = _run(
+        ["TinyPixArtImageGenerator", "--prompt", "a", "--prompt-file", "b"]
+    )
+    assert r.returncode != 0
+    assert "not allowed with" in r.stderr

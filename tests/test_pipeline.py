@@ -120,3 +120,37 @@ def test_shared_stepper_population(tiny_pipeline):
         np.testing.assert_allclose(
             np.asarray(out_pool), np.asarray(out_ref), rtol=1e-5, atol=1e-5
         )
+
+
+def test_additional_conditions_pipeline():
+    """1024-checkpoint path: size-condition embedders drive the pipeline
+    (resolution/aspect inputs constructed internally)."""
+    config = PixArtConfig.tiny(
+        dtype=jnp.float32, dim=48, num_heads=4, head_dim=12,
+        use_additional_conditions=True,
+    )
+    _, params = init_params(config, 0)
+    pcfg = PixArtPipelineConfig(model=config, num_inference_steps=2)
+    pipe = PixArtPipeline(pcfg, params)
+    text, neg = _embeds(config)
+    out = pipe.generate_latents(text, neg, seed=0)
+    assert out.shape == (2, config.sample_size, config.sample_size, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_schedule_transfer_across_resolutions():
+    """ECAD's 256→1024 transfer: the same (steps, blocks, comps) mask drives
+    pipelines at different resolutions (schedules are resolution-free)."""
+    from ecad_tpu.models.pixart import schedule_step_masks
+
+    rng = np.random.default_rng(0)
+    genome = rng.random(2 * 2 * 3) < 0.5
+    sched = PixArtCacheSchedule.from_numpy(genome, 2, 2, name="transfer")
+    for sample in (8, 16):
+        config = PixArtConfig.tiny(dtype=jnp.float32, sample_size=sample)
+        _, params = init_params(config, 0)
+        pcfg = PixArtPipelineConfig(model=config, num_inference_steps=2)
+        pipe = PixArtPipeline(pcfg, params, sched)
+        text, neg = _embeds(config)
+        out = pipe.generate_latents(text, neg, seed=0)
+        assert out.shape == (2, sample, sample, 4)
