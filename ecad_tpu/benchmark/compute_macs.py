@@ -16,9 +16,13 @@ from ..macs import attach_metrics
 from ..schedules import CacheSchedule, FluxCacheSchedule, PixArtCacheSchedule
 
 
-def load_any_schedule(path: Path) -> CacheSchedule:
+def load_any_schedule(path: Path):
     with path.open() as f:
         data = json.load(f)
+    if "dit_schedule" in data:
+        from ..graph import DiTSchedule
+
+        return DiTSchedule.from_dict(data)
     cs = data.get("cache_schedule", {})
     cls = FluxCacheSchedule if "num_single_blocks" in cs else PixArtCacheSchedule
     return cls.from_dict(data)
@@ -29,7 +33,14 @@ def compute_for_file(path: Path, overwrite: bool) -> bool:
     if sched.metrics.get("total_macs_T") is not None and not overwrite:
         print(f"Skipping {path.name}: metrics present.")
         return False
-    attach_metrics(sched)
+    from ..graph import DiTSchedule
+
+    if isinstance(sched, DiTSchedule):
+        from ..macs import compute_dit_schedule_metrics
+
+        sched.metrics.update(compute_dit_schedule_metrics(sched))
+    else:
+        attach_metrics(sched)
     sched.to_json(path)
     print(f"{path.name}: total_macs_T={sched.metrics['total_macs_T']:.6f}")
     return True

@@ -314,3 +314,39 @@ def attach_metrics(schedule: CacheSchedule, table: CostTable | None = None) -> d
     metrics = compute_schedule_metrics(schedule, table)
     schedule.metrics.update(metrics)
     return metrics
+
+
+def compute_dit_schedule_metrics(schedule, table: CostTable | None = None) -> dict:
+    """Metrics for a DiT topology schedule (ecad_tpu.graph.DiTSchedule):
+    each executed block (skips drop it, repeats/parallel count every
+    execution) costs the full per-block component sum; the per-step constant
+    is unchanged. Mirrors how calflops would count the reference's fx graphs
+    (only executed modules cost)."""
+    if table is None:
+        table = pixart_cost_table()
+    per_block_b1 = sum(table.comp_macs_per_sample.values())
+    per_block_extra_b1 = sum(
+        (table.comp_extra_flops_per_sample or {}).values()
+    )
+    b = table.batch
+    by_step = {}
+    total_macs = 0
+    total_flops = 0
+    for step in range(schedule.num_inference_steps):
+        n_exec = len(schedule.block_sequence(step))
+        macs = (table.const_macs_per_sample + n_exec * per_block_b1) * b
+        flops = (
+            2 * table.const_macs_per_sample
+            + table.const_extra_flops_per_sample
+            + n_exec * (2 * per_block_b1 + per_block_extra_b1)
+        ) * b + table.const_fixed_flops
+        by_step[f"{step:03}"] = {"flops": flops, "macs": macs}
+        total_macs += macs
+        total_flops += flops
+    return {
+        "by_inference_step": by_step,
+        "total_flops": total_flops,
+        "total_flops_T": total_flops / TERA,
+        "total_macs": total_macs,
+        "total_macs_T": total_macs / TERA,
+    }

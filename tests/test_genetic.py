@@ -149,3 +149,48 @@ def test_train_cli_mini_run(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert (pop / "gen_004/candidates/cand_000.json").exists()
+
+
+def test_evaluator_resumes_partial_scores(tmp_path):
+    """Interrupted offline eval: existing scores.json are kept; only missing
+    candidates are evaluated (generate_images.py:25-43 analogue)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecad_tpu.genetic import CandidateEvaluator, EvalConfig
+    from ecad_tpu.models import PixArtConfig, init_params
+    from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
+    from ecad_tpu.schedules import PixArtCacheSchedule
+
+    config = PixArtConfig.tiny(dtype=jnp.float32)
+    _, params = init_params(config, 0)
+    pipe = PixArtPipeline(
+        PixArtPipelineConfig(model=config, num_inference_steps=3), params
+    )
+    mgr = PixArtPopulationIOManager(
+        "resume",
+        all_populations_dir=tmp_path / "p",
+        all_benchmarks_dir=tmp_path / "b",
+        population_size=3,
+        num_inference_steps=3,
+        default_schedule=PixArtCacheSchedule.default(
+            num_inference_steps=3, num_blocks=2
+        ),
+    )
+    rng = np.random.default_rng(0)
+    mgr.save_population(rng.random((3, mgr.n_var)) < 0.5)
+    # pre-write a sentinel score for candidate 1
+    d = mgr.score_dir() / "cand_001"
+    d.mkdir(parents=True)
+    (d / "scores.json").write_text(
+        json.dumps({"total_score": 123.0, "avg_by_prompt": {}, "score_by_prompt_id": {}})
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    text = jax.random.normal(k1, (2, config.text_len, config.caption_dim))
+    neg = jax.random.normal(k2, (2, config.text_len, config.caption_dim))
+    ev = CandidateEvaluator(pipe, text, neg, ["a", "b"], EvalConfig())
+    results = ev.evaluate_generation(mgr, verbose=False)
+    assert set(results) == {0, 2}  # candidate 1 skipped
+    kept = json.loads((d / "scores.json").read_text())
+    assert kept["total_score"] == 123.0
+    assert mgr.check_offline_eval()

@@ -148,3 +148,37 @@ def test_tgate_half_batch(reference_root):
     d = json.loads(p.read_text())
     s = PixArtCacheSchedule.from_dict(d)
     _exact_check(s, d, p)
+
+
+def test_dit_schedule_macs():
+    from ecad_tpu.graph import DiTSchedule, skip_blocks
+    from ecad_tpu.macs import compute_dit_schedule_metrics
+
+    # default topology == default cache schedule totals
+    d = DiTSchedule.default(28, 20)
+    m = compute_dit_schedule_metrics(d)
+    m2 = compute_schedule_metrics(PixArtCacheSchedule.default())
+    assert m["total_macs"] == m2["total_macs"]
+    assert m["total_flops"] == m2["total_flops"]
+    # skipping 2 blocks every step drops exactly 2/28 of the block cost
+    s = DiTSchedule(
+        28, 20, "skip", {i: skip_blocks(28, [0, 1]) for i in range(20)}
+    )
+    ms = compute_dit_schedule_metrics(s)
+    per_block = (m["total_macs"] - 20 * 2 * 749_223_936) / 28
+    assert ms["total_macs"] == m["total_macs"] - 2 * per_block
+
+
+def test_compute_macs_cli_handles_dit(tmp_path):
+    import json as _json
+
+    from ecad_tpu.benchmark import compute_macs as cm
+    from ecad_tpu.graph import DiTSchedule
+
+    p = tmp_path / "dit.json"
+    DiTSchedule.default(28, 20, name="d").to_json(p)
+    cm.main(["--schedule", str(p)])
+    data = _json.loads(p.read_text())
+    assert data["metrics"]["total_macs_T"] == pytest.approx(
+        5.713796136960, abs=1e-9
+    )
