@@ -103,10 +103,14 @@ def schedule_step_masks(schedule, config: PixArtConfig) -> list[StepMask]:
                 # the reference warns at runtime on reuse-before-compute
                 # ("No cached X found. Recomputing.",
                 # cached_transformer_block.py:344-345); we resolve it at
-                # schedule-compile time instead.
+                # schedule-compile time instead. stderr: stdout may carry
+                # machine-readable output (bench.py emits one JSON line).
+                import sys
+
                 print(
                     f"WARNING: schedule {schedule.name!r} requests cache "
-                    "reuse at step 0 (no cache exists yet) — recomputing."
+                    "reuse at step 0 (no cache exists yet) — recomputing.",
+                    file=sys.stderr,
                 )
             masks.append(full_step_mask(config))
         else:
