@@ -280,23 +280,6 @@ def gen_middle_repeat_evenly_spaced(num_blocks, num_inference_steps):
             )
 
 
-def _reverse_ranges_all(num_blocks):
-    first, last = 0, num_blocks - 1
-    while first < last:
-        yield first, last
-        first += 2
-        last -= 2
-        if first >= last:
-            first -= 1
-            last += 1
-            if first < last and last - first == num_blocks - 1:
-                break  # would repeat the initial full range
-            if first >= last:
-                break
-            yield first, last
-            break
-
-
 def gen_reverse_all_timesteps(num_blocks, num_inference_steps):
     # reference :501-521 (stride 2 with a final granularity fix-up)
     first, last = 0, num_blocks - 1
