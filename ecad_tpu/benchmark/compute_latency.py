@@ -52,6 +52,9 @@ def main(argv=None) -> None:
     p.add_argument("--batch-size", type=int, default=100)
     p.add_argument("--weights-root", type=Path, default=None)
     p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--profile-dir", type=Path, default=None,
+                   help="write a jax.profiler trace of the timed runs "
+                        "(viewable in TensorBoard/Perfetto)")
     args = p.parse_args(argv)
 
     gen_type = get_image_generator_type(args.image_generator)
@@ -60,6 +63,14 @@ def main(argv=None) -> None:
         if args.schedule is not None
         else sorted(args.input_dir.rglob("*.json"))
     )
+    if args.profile_dir is not None:
+        import jax
+
+        with jax.profiler.trace(str(args.profile_dir)):
+            for f in files:
+                time_for_schedule(gen_type, f, args)
+        print(f"Profiler trace written to {args.profile_dir}")
+        return
     for f in files:
         time_for_schedule(gen_type, f, args)
 

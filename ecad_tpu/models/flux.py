@@ -454,11 +454,13 @@ class FluxTransformer(nn.Module):
                 new_cache[f"{k}_{i}"] = v
 
         img = x[:, txt.shape[1] :]
-        # AdaLayerNormContinuous final modulation
+        # AdaLayerNormContinuous final modulation — NOTE: diffusers chunks
+        # SCALE first then shift here (unlike the PixArt scale_shift_table,
+        # which is shift-first)
         mods = _dense(2 * c.dim, "norm_out_linear", dtype=c.dtype)(
             nn.silu(temb)
         )
-        shift, scale = jnp.split(mods[:, None, :], 2, axis=-1)
+        scale, shift = jnp.split(mods[:, None, :], 2, axis=-1)
         img = layer_norm(img) * (1 + scale) + shift
         return _dense(
             c.in_channels, "proj_out", in_axis=EMBED, out_axis=None, dtype=c.dtype
