@@ -500,18 +500,22 @@ def init_flux_cache() -> dict:
 
 
 def pack_latents(latents: jax.Array) -> jax.Array:
-    """(B, H, W, C) → (B, H/2·W/2, 4C) FLUX packing (NHWC layout)."""
+    """(B, H, W, C) → (B, H/2·W/2, 4C) FLUX packing (NHWC layout).
+
+    Feature order within a packed token is (channel, p_h, p_w) — matching
+    diffusers' `_pack_latents` permute(0,2,4,1,3,5) so real x_embedder /
+    proj_out weights convert without permutation."""
     b, h, w, ch = latents.shape
     x = latents.reshape(b, h // 2, 2, w // 2, 2, ch)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (b, gh, gw, c, ph, pw)
     return x.reshape(b, (h // 2) * (w // 2), 4 * ch)
 
 
 def unpack_latents(packed: jax.Array, grid_h: int, grid_w: int) -> jax.Array:
     b, t, c4 = packed.shape
     ch = c4 // 4
-    x = packed.reshape(b, grid_h, grid_w, 2, 2, ch)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = packed.reshape(b, grid_h, grid_w, ch, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (b, gh, ph, gw, pw, c)
     return x.reshape(b, grid_h * 2, grid_w * 2, ch)
 
 
