@@ -48,14 +48,10 @@ def clip_vision_extractor(images: np.ndarray) -> np.ndarray:
         raise RuntimeError("set ECAD_CLIP_MODEL_DIR for clip_vision features")
     scorer = CLIPScorer.from_weights(model_dir)
     px = scorer.preprocess(images)
-    import jax
-
-    feats = scorer._score  # noqa: SLF001 — reuse jitted tower
-    vision = scorer.vision_params
     from .clip_score import CLIPVisionEncoder
 
     out = CLIPVisionEncoder(scorer.vision_config).apply(
-        {"params": vision}, px
+        {"params": scorer.vision_params}, px
     )
     return np.asarray(out)
 
@@ -82,6 +78,12 @@ def frechet_distance(
     )
 
 
+def get_extractor(name: str):
+    if name == "inception" and name not in FeatureExtractorRegistry:
+        from . import inception  # noqa: F401
+    return FeatureExtractorRegistry.get(name)
+
+
 class FIDStats:
     """Cached (mu, sigma) with the clean-fid custom-stats workflow."""
 
@@ -96,7 +98,7 @@ class FIDStats:
         cls, images: np.ndarray, extractor: str = "pixel_stats",
         batch_size: int = 256,
     ) -> "FIDStats":
-        fn = FeatureExtractorRegistry.get(extractor)
+        fn = get_extractor(extractor)
         feats = np.concatenate(
             [
                 fn(images[lo : lo + batch_size])
