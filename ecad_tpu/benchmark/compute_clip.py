@@ -17,7 +17,7 @@ from pathlib import Path
 import numpy as np
 
 from ..scoring import get_scorer
-from .prompts import read_benchmark_prompts
+from .prompts import normalize_prompt_id, read_benchmark_prompts
 from .score_images import NAMING_MODES, parse_prompt_id
 
 
@@ -35,8 +35,8 @@ def main(argv=None) -> None:
     prompts_by_id = {}
     for name, prompt in read_benchmark_prompts(args.prompt_file).items():
         m = re.search(r"prompt_id:(?P<pid>.+?)__", name)
-        pid = m.group("pid") if m else name.split("__")[0].lstrip("0") or "0"
-        prompts_by_id[pid] = prompt
+        pid = m.group("pid") if m else name.split("__")[0]
+        prompts_by_id[normalize_prompt_id(pid)] = prompt
 
     from PIL import Image
 

@@ -43,11 +43,11 @@ def generate_for_schedule(
             p.unlink()
 
     if shared_gen is not None:
-        # swap schedule masks on the resident model; stepwise execution
-        # shares compiled step programs across the whole schedule tree
+        # swap the schedule on the resident model through the full loader
+        # (honors embedded pipeline/steps/resolution config); stepwise
+        # execution shares compiled step programs across the whole tree
         gen = shared_gen
-        gen.cache_schedule = gen.schedule_cls.from_json(schedule_path)
-        gen._pipeline = None
+        gen.set_schedule(schedule_path)
         gen.execution_mode = "stepwise"
     else:
         gen = gen_type(

@@ -70,3 +70,12 @@ def mjhq_categories(
             f"{image_id}__prompt_seed:000"
         ] = item["prompt"]
     yield from sorted(by_cat.items())
+
+
+def normalize_prompt_id(pid: str) -> str:
+    """One key for zero-padded numeric ids ('010') and their stripped forms
+    ('10'); non-numeric ids pass through. Embedding filenames zero-pad the
+    index while prompt-file maps may not — both sides must normalize."""
+    if pid.isdigit():
+        return pid.lstrip("0") or "0"
+    return pid

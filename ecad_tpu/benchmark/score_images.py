@@ -18,7 +18,7 @@ from pathlib import Path
 import numpy as np
 
 from ..scoring import get_scorer
-from .prompts import read_benchmark_prompts
+from .prompts import normalize_prompt_id, read_benchmark_prompts
 
 FILENAME_PATTERN = re.compile(
     r".*__prompt_id:(?P<prompt_id>.+?)__.*?__image_seed:(?P<image_seed>\d+)"
@@ -44,7 +44,8 @@ def parse_prompt_id(name: str, mode: str) -> str | None:
     if not m:
         return None
     gd = m.groupdict()
-    return gd.get("prompt_id") or gd.get("prompt_num")
+    pid = gd.get("prompt_id") or gd.get("prompt_num")
+    return normalize_prompt_id(pid) if pid is not None else None
 
 
 def score_schedule_dir(
@@ -107,8 +108,8 @@ def main(argv=None) -> None:
     if args.prompt_file is not None:
         for name, prompt in read_benchmark_prompts(args.prompt_file).items():
             m = re.search(r"prompt_id:(?P<pid>.+?)__", name)
-            pid = m.group("pid") if m else name.split("__")[0].lstrip("0") or "0"
-            prompts_by_id[pid] = prompt
+            pid = m.group("pid") if m else name.split("__")[0]
+            prompts_by_id[normalize_prompt_id(pid)] = prompt
 
     # leaf dirs = dirs containing pngs directly
     leaf_dirs = sorted(

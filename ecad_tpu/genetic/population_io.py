@@ -201,10 +201,12 @@ class PopulationIOManager:
                 f"candidate indices mismatch: scores {sorted(scores)} vs "
                 f"metrics {sorted(metrics)}"
             )
+        # rows positionally aligned with load_population_vectors' sorted
+        # candidate order (robust to non-contiguous candidate indices)
         F = np.zeros((len(scores), 2))
-        for i in scores:
-            F[i, 0] = 1.0 - scores[i]  # negate-to-minimize ImageReward
-            F[i, 1] = -metrics[i] if self.maximize_macs else metrics[i]
+        for row, i in enumerate(sorted(scores)):
+            F[row, 0] = 1.0 - scores[i]  # negate-to-minimize ImageReward
+            F[row, 1] = -metrics[i] if self.maximize_macs else metrics[i]
         return F
 
     def _load_scores(
@@ -271,7 +273,7 @@ class PopulationIOManager:
     # -- manager config ----------------------------------------------------
 
     def to_dict(self) -> dict[str, Any]:
-        return {
+        d = {
             "name": self.name,
             "population_dir": str(self.population_dir),
             "benchmark_dir": str(self.benchmark_dir),
@@ -280,7 +282,15 @@ class PopulationIOManager:
             "min_diff_from_default": self.min_diff_from_default,
             "population_size": self.population_size,
             "schedule_class": type(self).__name__,
+            # resume-critical state (flipping the objective sign or the
+            # genome geometry on --load-from would corrupt the search)
+            "maximize_macs": self.maximize_macs,
+            "candidate_config": self.candidate_config,
+            "num_blocks": self.default_schedule.num_blocks,
         }
+        if hasattr(self.default_schedule, "num_single_blocks"):
+            d["num_single_blocks"] = self.default_schedule.num_single_blocks
+        return d
 
     def save_config(self) -> Path:
         p = self.generation_dir() / CONFIG_FILENAME
@@ -302,9 +312,19 @@ class PopulationIOManager:
             "num_inference_steps",
             "min_diff_from_default",
             "population_size",
+            "maximize_macs",
+            "candidate_config",
         ):
             if key in config:
                 kwargs[key] = config[key]
+        if "num_blocks" in config:
+            sched_kwargs = dict(
+                num_inference_steps=config.get("num_inference_steps", 20),
+                num_blocks=config["num_blocks"],
+            )
+            if "num_single_blocks" in config:
+                sched_kwargs["num_single_blocks"] = config["num_single_blocks"]
+            kwargs["default_schedule"] = cls.schedule_cls.default(**sched_kwargs)
         return cls(**kwargs)
 
 

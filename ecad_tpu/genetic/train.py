@@ -187,13 +187,34 @@ def _build_flux_evaluator(args):
         width=height,
     )
     pipeline = FluxPipeline(pcfg, params)
-    k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed))
-    p = args.num_prompts
-    text = jax.random.normal(
-        k1, (p, config.text_len, config.joint_dim)
-    ).astype(config.dtype)
-    pooled = jax.random.normal(k2, (p, config.pooled_dim)).astype(config.dtype)
-    prompts = [f"prompt_{i}" for i in range(p)]
+    if args.embeddings_dir is not None:
+        import jax.numpy as _jnp
+
+        from ..utils.io import load_embedding_dir
+
+        entries = load_embedding_dir(args.embeddings_dir)
+        if not entries or "pooled_prompt_embeds" not in entries[0]:
+            raise SystemExit(
+                f"no FLUX embeddings (prompt_embeds + pooled_prompt_embeds) "
+                f"found in {args.embeddings_dir}"
+            )
+        text = _jnp.stack(
+            [e["prompt_embeds"] for e in entries]
+        ).astype(config.dtype)
+        pooled = _jnp.stack(
+            [e["pooled_prompt_embeds"] for e in entries]
+        ).astype(config.dtype)
+        prompts = [e["name"] for e in entries]
+    else:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed))
+        p = args.num_prompts
+        text = jax.random.normal(
+            k1, (p, config.text_len, config.joint_dim)
+        ).astype(config.dtype)
+        pooled = jax.random.normal(k2, (p, config.pooled_dim)).astype(
+            config.dtype
+        )
+        prompts = [f"prompt_{i}" for i in range(p)]
     return FluxCandidateEvaluator(
         pipeline,
         text,

@@ -75,6 +75,41 @@ class ImageGenerator(ABC):
         self.cache_schedule = self._load_schedule_file(schedule_path)
         self._encoder = None
         self._pipeline = None
+        self._params = None  # transformer params, loaded once per generator
+        self._vae = None  # VAE decoder pipeline, loaded once per generator
+
+    def set_schedule(self, schedule_path) -> None:
+        """Point a resident generator at a different schedule file, honoring
+        everything the schedule JSON can carry (cache/dit schedule, pipeline
+        choice, steps, resolution, guidance). Reuses the compiled pipeline
+        in place when only the recompute masks changed (compiled step
+        programs survive); otherwise rebuilds it around the cached params."""
+        old = (
+            self.num_inference_steps, self.pipeline_name, self.height,
+            self.width, self.guidance_scale, self.transformer_weights,
+        )
+        self.dit_schedule = None
+        self.cache_schedule = self._load_schedule_file(schedule_path)
+        pipe = self._pipeline
+        new = (
+            self.num_inference_steps, self.pipeline_name, self.height,
+            self.width, self.guidance_scale, self.transformer_weights,
+        )
+        if (
+            pipe is not None
+            and new == old
+            and self.dit_schedule is None
+            and hasattr(pipe, "set_schedule")
+        ):
+            try:
+                if type(pipe).__name__ == "FluxPipeline":
+                    pipe.set_schedule(self.cache_schedule)
+                else:
+                    pipe.set_schedule(self.cache_schedule, self.dit_schedule)
+                return
+            except (TypeError, ValueError):
+                pass  # incompatible — rebuild below
+        self._pipeline = None
 
     # -- schedule / config resolution -------------------------------------
 

@@ -54,7 +54,9 @@ class PixArtImageGenerator(ImageGenerator):
         if self._pipeline is not None:
             return self._pipeline
         config = self.model_config()
-        if self.random_weights or self.weights_root is None:
+        if self._params is not None:
+            params = self._params
+        elif self.random_weights or self.weights_root is None:
             _, params = init_params(config, 0)
         else:
             from ..models.weights import load_pixart_params
@@ -62,6 +64,7 @@ class PixArtImageGenerator(ImageGenerator):
             params = load_pixart_params(
                 self.weights_root, self.transformer_weights, config
             )
+        self._params = params
         pcfg = PixArtPipelineConfig(
             model=config,
             num_inference_steps=self.num_inference_steps,
@@ -135,12 +138,14 @@ class PixArtImageGenerator(ImageGenerator):
 
     def decode_latents(self, latents) -> np.ndarray:
         if not self.random_weights and self.weights_root is not None:
-            from ..models.vae import VAEDecoderPipeline
+            if self._vae is None:
+                from ..models.vae import VAEDecoderPipeline
 
-            vae = VAEDecoderPipeline.from_weights(
-                self.weights_root, self.pipeline_weights or self.transformer_weights
-            )
-            return vae.decode(latents)
+                self._vae = VAEDecoderPipeline.from_weights(
+                    self.weights_root,
+                    self.pipeline_weights or self.transformer_weights,
+                )
+            return self._vae.decode(latents)
         from ..genetic.evaluate import latents_to_uint8
 
         return latents_to_uint8(latents)

@@ -11,8 +11,8 @@ to 128 in the wrapper — padding K columns adds zero scores and padding V
 columns adds zero outputs, so results are exact.
 
 Use `fused_attention(q, k, v, bias=None)` with (B, T, H, D) tensors — the
-same contract as jax.nn.dot_product_attention. Falls back to the XLA path
-on non-TPU backends.
+same contract as jax.nn.dot_product_attention (TPU or interpret mode; the
+models select between this and the XLA path via set_attention_backend).
 """
 
 from __future__ import annotations
@@ -95,11 +95,6 @@ def fused_attention(
     kp = pad(k, tk_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
     vp = pad(v, tk_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
 
-    # padded K rows must not receive attention mass
-    pad_bias = jnp.where(
-        jnp.arange(tk_pad) < tk, 0.0, -1e9
-    ).astype(jnp.float32)[None, None, :]
-
     grid = (b * h,)
     kwargs = dict(
         grid=grid,
@@ -114,16 +109,42 @@ def fused_attention(
         (1, t, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
+    if bias is None and tk == tk_pad:
+        # common fast path: no dense bias operand at all
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale),
+            in_specs=[tile(tq_pad), tile(tk_pad), tile(tk_pad)],
+            **kwargs,
+        )(qp, kp, vp)
+        out = out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
+        return out.transpose(0, 2, 1, 3)
+
+    # padded K rows must not receive attention mass
+    pad_bias = jnp.where(
+        jnp.arange(tk_pad) < tk, 0.0, -1e9
+    ).astype(jnp.float32)[None, None, :]
+
+    # keep the bias operand as small as broadcasting allows: one shared
+    # block when the bias has no batch/head/query structure, per-batch
+    # blocks for key-padding biases, dense only in the general case
     if bias is None:
-        bias_full = jnp.broadcast_to(pad_bias, (b * h, tq_pad, tk_pad))
+        bias_arr = jnp.broadcast_to(pad_bias, (1, tq_pad, tk_pad))
+        bias_index = lambda i: (0, 0, 0)  # noqa: E731
+    elif bias.shape[1] == 1 and bias.shape[2] == 1:
+        bias_b = jnp.pad(
+            bias.astype(jnp.float32)[:, 0], ((0, 0), (0, 0), (0, tk_pad - tk))
+        )  # (B, 1, tk_pad)
+        bias_arr = jnp.broadcast_to(
+            bias_b, (b, tq_pad, tk_pad)
+        ) + pad_bias
+        bias_index = lambda i: (i // h, 0, 0)  # noqa: E731
     else:
-        bias_b = jnp.broadcast_to(
-            bias.astype(jnp.float32), (b, h, tq, tk)
-        )
+        bias_b = jnp.broadcast_to(bias.astype(jnp.float32), (b, h, tq, tk))
         bias_b = jnp.pad(
             bias_b, ((0, 0), (0, 0), (0, tq_pad - tq), (0, tk_pad - tk))
         ).reshape(b * h, tq_pad, tk_pad)
-        bias_full = bias_b + pad_bias
+        bias_arr = bias_b + pad_bias
+        bias_index = lambda i: (i, 0, 0)  # noqa: E731
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel_bias, scale=scale),
@@ -132,16 +153,10 @@ def fused_attention(
             tile(tk_pad),
             tile(tk_pad),
             pl.BlockSpec(
-                (1, tq_pad, tk_pad), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, tq_pad, tk_pad), bias_index, memory_space=pltpu.VMEM
             ),
         ],
         **kwargs,
-    )(
-        qp.reshape(b * h, tq_pad, d_pad),
-        kp,
-        vp,
-        bias_full,
-    )
+    )(qp, kp, vp, bias_arr)
     out = out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
     return out.transpose(0, 2, 1, 3)

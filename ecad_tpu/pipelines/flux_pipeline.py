@@ -9,7 +9,6 @@ guidance-distilled: no CFG batch doubling; guidance enters as an embedding.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any, Callable, Optional
 
@@ -73,6 +72,25 @@ class FluxPipeline:
             config.num_inference_steps, config.image_seq_len
         )
         self._unrolled_cache: dict[tuple, Callable] = {}
+        self._step_fns: dict[tuple, Callable] = {}
+
+    def set_schedule(self, schedule: Optional[FluxCacheSchedule] = None) -> None:
+        """Swap schedules on a resident pipeline; compiled step programs are
+        keyed by mask and survive, unrolled programs are dropped."""
+        if schedule is None:
+            schedule = FluxCacheSchedule.default(
+                num_inference_steps=self.config.num_inference_steps,
+                num_blocks=self.config.model.num_blocks,
+                num_single_blocks=self.config.model.num_single_blocks,
+            )
+        if schedule.num_inference_steps != self.config.num_inference_steps:
+            raise ValueError(
+                f"schedule steps {schedule.num_inference_steps} != pipeline "
+                f"{self.config.num_inference_steps}"
+            )
+        self.schedule = schedule
+        self.masks = flux_step_masks(schedule, self.config.model)
+        self._unrolled_cache.clear()
 
     def _velocity(self, params, x, txt, pooled, t_value, cache, mask):
         b = x.shape[0]
@@ -105,9 +123,27 @@ class FluxPipeline:
         x = noise
         cache: dict = {}
         for i in range(self.flow.num_steps):
-            fn = _flux_step_fn(self, i, self.masks[i], i == 0)
+            fn = self._get_step_fn(i, self.masks[i], i == 0)
             x, cache = fn(self.params, x, txt, pooled, cache)
         return x
+
+    def _get_step_fn(self, step_index: int, mask, first: bool) -> Callable:
+        key = (step_index, mask, first)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        flow = self.flow
+
+        def step(params, x, txt, pooled, cache):
+            v, cache = self._velocity(
+                params, x, txt, pooled, float(flow.timesteps[step_index]),
+                cache, mask,
+            )
+            return flow_step(flow, step_index, v, x), cache
+
+        # cache dict is empty on the first step — donating it is a no-op
+        fn = jax.jit(step, donate_argnums=(1,) if first else (1, 4))
+        self._step_fns[key] = fn
+        return fn
 
     def generate_latents(
         self,
@@ -135,21 +171,6 @@ class FluxPipeline:
         else:
             raise ValueError(f"unknown mode {mode!r}")
         return unpack_latents(packed, gh, gw)
-
-
-@functools.lru_cache(maxsize=4096)
-def _flux_step_fn(pipeline: FluxPipeline, step_index: int, mask, first: bool):
-    flow = pipeline.flow
-
-    def step(params, x, txt, pooled, cache):
-        v, cache = pipeline._velocity(
-            params, x, txt, pooled, float(flow.timesteps[step_index]),
-            cache, mask,
-        )
-        return flow_step(flow, step_index, v, x), cache
-
-    # cache dict is empty on the first step — donating it would be a no-op
-    return jax.jit(step, donate_argnums=(1,) if first else (1, 4))
 
 
 class SharedFluxStepper:

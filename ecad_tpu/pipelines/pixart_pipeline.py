@@ -24,7 +24,6 @@ output channels (learned-sigma checkpoints).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, replace
 from typing import Any, Callable, Optional
 
@@ -69,12 +68,24 @@ class PixArtPipeline:
         self.config = config
         self.params = params
         self.model = PixArtTransformer(config.model)
-        # per-step topology plans (None → sequential blocks)
-        self.plans: list = (
-            dit_schedule.step_plans()
-            if dit_schedule is not None and not dit_schedule.is_default()
-            else [None] * config.num_inference_steps
+        self.dpm: DPMSolverSchedule = make_dpm_schedule(
+            config.num_inference_steps
         )
+        self._unrolled_cache: dict[tuple, Callable] = {}
+        # per-instance compiled-step pool: keyed by (step, mask, plan, …) so
+        # swapping schedules on a resident pipeline reuses programs; being
+        # instance-owned (not a module-global lru_cache) it dies with the
+        # pipeline instead of pinning params forever
+        self._step_fns: dict[tuple, Callable] = {}
+        self._encode_text_jit: Callable | None = None
+        self.set_schedule(schedule, dit_schedule)
+
+    def set_schedule(self, schedule=None, dit_schedule: Any = None) -> None:
+        """Swap the cache (and optionally topology) schedule on a resident
+        pipeline. Compiled step programs are keyed by their recompute masks
+        and survive the swap; whole-trajectory (unrolled) programs are
+        schedule-specialized and are dropped."""
+        config = self.config
         if schedule is None:
             schedule = PixArtCacheSchedule.default(
                 num_inference_steps=config.num_inference_steps,
@@ -87,10 +98,12 @@ class PixArtPipeline:
             )
         self.schedule = schedule
         self.masks: list[StepMask] = schedule_step_masks(schedule, config.model)
-        self.dpm: DPMSolverSchedule = make_dpm_schedule(
-            config.num_inference_steps
+        self.plans = (
+            dit_schedule.step_plans()
+            if dit_schedule is not None and not dit_schedule.is_default()
+            else [None] * config.num_inference_steps
         )
-        self._unrolled_cache: dict[tuple, Callable] = {}
+        self._unrolled_cache.clear()
 
     # -- model step (shared by both modes) --------------------------------
 
@@ -200,12 +213,18 @@ class PixArtPipeline:
             noise.shape[2] // self.config.model.patch_size
         )
         cache = init_cache(self.config.model, 2 * b, tokens)
-        text_pre = _encode_text_fn(self)(self.params, enc2)
+        if self._encode_text_jit is None:
+            self._encode_text_jit = jax.jit(
+                lambda params, e2: self.model.apply(
+                    {"params": params}, e2,
+                    method=PixArtTransformer.encode_text,
+                )
+            )
+        text_pre = self._encode_text_jit(self.params, enc2)
         x = noise * self.dpm.init_noise_sigma
         state = DPMState(x, jnp.zeros_like(x, jnp.float32), False)
         for i in range(self.dpm.num_steps):
-            fn = _step_fn(
-                self,
+            fn = self._get_step_fn(
                 i,
                 self.masks[i],
                 state.have_prev,
@@ -248,51 +267,45 @@ class PixArtPipeline:
             return self.denoise_stepwise(noise, text, neg, text_mask, neg_mask)
         raise ValueError(f"unknown mode {mode!r}")
 
+    def _get_step_fn(
+        self,
+        step_index: int,
+        mask: StepMask,
+        have_prev: bool,
+        with_enc_mask: bool,
+    ) -> Callable:
+        """Instance-owned compiled-step pool. Keyed by everything the trace
+        closes over (incl. the topology plan), so swapping schedules via
+        set_schedule reuses programs whose patterns repeat."""
+        plan = self.plans[step_index]
+        key = (step_index, mask, have_prev, with_enc_mask, plan)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        dpm = self.dpm
 
-# process-wide step-program cache: population evaluation across many
-# schedules reuses compiled steps keyed by the step's recompute pattern
-@functools.lru_cache(maxsize=64)
-def _encode_text_fn(pipeline: "PixArtPipeline"):
-    return jax.jit(
-        lambda params, enc2: pipeline.model.apply(
-            {"params": params}, enc2, method=PixArtTransformer.encode_text
-        )
-    )
+        def step(params, x, prev_x0, enc2, enc_mask2, cache, text_pre):
+            res, ar = self._additional_conditions(2 * x.shape[0], x.dtype)
+            eps, cache = self._model_eps(
+                params,
+                x,
+                enc2,
+                enc_mask2 if with_enc_mask else None,
+                float(dpm.timesteps[step_index]),
+                cache,
+                mask,
+                res,
+                ar,
+                plan=plan,
+                text_precomputed=text_pre,
+            )
+            state = dpm_step(
+                dpm, step_index, eps, DPMState(x, prev_x0, have_prev)
+            )
+            return state.x, state.prev_x0, cache
 
-
-@functools.lru_cache(maxsize=4096)
-def _step_fn(
-    pipeline: "PixArtPipeline",
-    step_index: int,
-    mask: StepMask,
-    have_prev: bool,
-    with_enc_mask: bool,
-):
-    dpm = pipeline.dpm
-
-    def step(params, x, prev_x0, enc2, enc_mask2, cache, text_pre):
-        res, ar = pipeline._additional_conditions(
-            2 * x.shape[0], x.dtype
-        )
-        eps, cache = pipeline._model_eps(
-            params,
-            x,
-            enc2,
-            enc_mask2 if with_enc_mask else None,
-            float(dpm.timesteps[step_index]),
-            cache,
-            mask,
-            res,
-            ar,
-            plan=pipeline.plans[step_index],
-            text_precomputed=text_pre,
-        )
-        state = dpm_step(
-            dpm, step_index, eps, DPMState(x, prev_x0, have_prev)
-        )
-        return state.x, state.prev_x0, cache
-
-    return jax.jit(step, donate_argnums=(1, 5))
+        fn = jax.jit(step, donate_argnums=(1, 5))
+        self._step_fns[key] = fn
+        return fn
 
 
 class PopulationDenoiser:

@@ -30,10 +30,16 @@ from .samplers import DPMState, dpm_step
 
 class TGATEPixArtPipeline(PixArtPipeline):
     def __init__(self, *args, gate_step: int, **kwargs):
-        super().__init__(*args, **kwargs)
-        if not (0 < gate_step <= self.config.num_inference_steps):
+        if not gate_step or gate_step < 1:
             raise ValueError(f"gate_step {gate_step} out of range")
         self.gate_step = gate_step
+        super().__init__(*args, **kwargs)
+
+    def set_schedule(self, schedule=None, dit_schedule=None) -> None:
+        super().set_schedule(schedule, dit_schedule)
+        gate_step = self.gate_step
+        if gate_step > self.config.num_inference_steps:
+            raise ValueError(f"gate_step {gate_step} out of range")
         # after the gate, cross-attention must come from the averaged cache;
         # self-attn/ff caches have CFG batch shape and cannot be reused
         for step in range(gate_step, self.config.num_inference_steps):
@@ -54,8 +60,6 @@ class TGATEPixArtPipeline(PixArtPipeline):
 
     def build_denoise_fn(self, donate: bool = True):
         def denoise(params, noise, text, neg, text_mask, neg_mask):
-            from ..models.pixart import init_cache
-
             b = noise.shape[0]
             enc2 = jnp.concatenate([neg, text], axis=0)
             enc_mask2 = None
@@ -66,9 +70,9 @@ class TGATEPixArtPipeline(PixArtPipeline):
             tokens = (noise.shape[1] // self.config.model.patch_size) * (
                 noise.shape[2] // self.config.model.patch_size
             )
-            from ..models.pixart import init_cache as _ic
+            from ..models.pixart import init_cache
 
-            cache = _ic(self.config.model, 2 * b, tokens)
+            cache = init_cache(self.config.model, 2 * b, tokens)
             x = noise * self.dpm.init_noise_sigma
             state = DPMState(x, jnp.zeros_like(x, jnp.float32), False)
 
@@ -97,7 +101,6 @@ class TGATEPixArtPipeline(PixArtPipeline):
             cache = {k: gate_cache(k, v) for k, v in cache.items()}
 
             # phase 2: null-embedding only, no CFG
-            t = jnp.full((b,), 0.0, jnp.float32)
             for i in range(self.gate_step, self.dpm.num_steps):
                 out, cache = self.model.apply(
                     {"params": params},

@@ -26,6 +26,10 @@ def save_embedding(path: Path | str, data: dict[str, Any]) -> Path:
         if v is None:
             continue
         arr = np.asarray(v)
+        if arr.dtype.kind == "V":
+            # ml_dtypes (bfloat16 etc.) report kind 'V'; widen to float32 so
+            # bf16 embeddings from the real encoders round-trip
+            arr = arr.astype(np.float32)
         if arr.dtype.kind not in "fiub":  # skip names/paths etc.
             continue
         arrays[k] = arr
@@ -49,7 +53,11 @@ def load_embedding(path: Path | str) -> dict[str, np.ndarray]:
         out = {}
         for k, v in data.items():
             if isinstance(v, torch.Tensor):
-                v = v.float().numpy() if v.dtype == torch.float16 else v.numpy()
+                # half/bf16 tensors (reference FLUX embeddings are bf16)
+                # widen before .numpy(), which rejects bfloat16 directly
+                if v.dtype in (torch.float16, torch.bfloat16):
+                    v = v.float()
+                v = v.numpy()
             out[k] = np.asarray(v)
         return out
     if path.suffix == ".npz":
