@@ -1,0 +1,115 @@
+"""FLUX 256 schedule benchmark on one chip (not the driver bench).
+
+Measures the paper's FLUX.1-dev 256×256 schedules (reference RTX A6000:
+uncached 2620.09 ms/img, ours_fast 1016.59 → 2.58×, ours_faster 778.17 →
+3.37× — SURVEY.md §6) with bench.py's pipelined-dispatch timing protocol.
+
+Full FLUX.1-dev is ~12B params → ~24 GB bf16, which does not fit a single
+v5e chip (16 GB HBM), so this benches an architecture-faithful
+width-reduced config: all 19 dual + 38 single blocks, the same schedule
+genome/masks, head_dim 128 — only `dim` is halved (3072 → 1536, ~3B
+params). The cached/uncached ratio is the quantity of interest and is
+reported per schedule; absolute ms/img are NOT comparable to the
+reference's full-width numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import bench  # repo-root bench.py: sync + cache-dir setup
+
+LADDER = {
+    "ours_fast": 2620.09 / 1016.59,
+    "ours_faster": 2620.09 / 778.17,
+}
+SCHED_DIR = pathlib.Path(
+    "/root/reference/schedules/schedules_in_paper/flux_256"
+)
+BATCH = 8  # 16 exceeds 1-chip HBM by ~0.7 GB on the 20-step unrolled program
+WARMUP = 2
+SAMPLES = 5
+
+
+def time_flux(pipe, params, noise, txt, pooled) -> float:
+    fn = pipe.build_denoise_fn(donate=False)
+    for _ in range(WARMUP):
+        bench.sync(fn(params, noise, txt, pooled))
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = fn(params, noise, txt, pooled)
+        bench.sync(out)
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(2))
+    tk = min(run(1 + SAMPLES) for _ in range(2))
+    return (tk - t1) / SAMPLES
+
+
+def main() -> None:
+    import jax
+
+    from ecad_tpu.models.flux import FluxConfig, init_flux_params
+    from ecad_tpu.pipelines.flux_pipeline import (
+        FluxPipeline,
+        FluxPipelineConfig,
+    )
+    from ecad_tpu.schedules import FluxCacheSchedule
+
+    config = FluxConfig(dim=1536, num_heads=12)
+    _, params = init_flux_params(config, 0)
+    pcfg = FluxPipelineConfig(model=config, height=256, width=256)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    noise = jax.random.normal(
+        k1, (BATCH, pcfg.image_seq_len, config.in_channels)
+    ).astype(config.dtype)
+    txt = jax.random.normal(
+        k2, (BATCH, config.text_len, config.joint_dim)
+    ).astype(config.dtype)
+    pooled = jax.random.normal(k3, (BATCH, config.pooled_dim)).astype(
+        config.dtype
+    )
+
+    uncached = FluxPipeline(pcfg, params)
+    t_uncached = time_flux(uncached, params, noise, txt, pooled)
+
+    for name, ref_speedup in LADDER.items():
+        sched = FluxCacheSchedule.from_json(SCHED_DIR / f"{name}.json")
+        pipe = FluxPipeline(pcfg, params, sched)
+        t = time_flux(pipe, params, noise, txt, pooled)
+        speedup = t_uncached / t
+        print(
+            json.dumps(
+                {
+                    "metric": f"flux_256_{name}_wallclock_speedup",
+                    "value": round(speedup, 4),
+                    "unit": "x_vs_uncached",
+                    "vs_baseline": round(speedup / ref_speedup, 4),
+                    "detail": {
+                        "batch": BATCH,
+                        "dim": config.dim,
+                        "note": "width-reduced (full dev exceeds 1-chip HBM)",
+                        "uncached_ms_per_image": round(
+                            t_uncached / BATCH * 1e3, 3
+                        ),
+                        "cached_ms_per_image": round(t / BATCH * 1e3, 3),
+                        "device": str(jax.devices()[0]),
+                    },
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
