@@ -45,14 +45,15 @@ class EvalConfig:
     seed_step: int = 1
     scorer: str = "mock"
     batch_size: int = 0  # 0 → all (prompts × images) in one device batch
-    # "stepwise": per-(step, mask) specialized programs, memoized across the
-    #   population — maximum throughput when patterns repeat.
     # "dynamic": ONE lax.cond program for every schedule — no per-candidate
     #   compilation at all; the right choice for evolving populations whose
-    #   masks are novel each generation on standard TPU runtimes.
-    #   NOTE: remote-compile TPU tunnels (axon) currently stall on
-    #   cond-heavy programs — default stays "stepwise" until that clears.
-    mode: str = "stepwise"
+    #   masks are novel each generation. Measured full-size PixArt on v5e:
+    #   one ~5 min compile, then 39.8 ms/img — vs ~20 fresh step-program
+    #   compiles per novel candidate in stepwise mode.
+    # "stepwise": per-(step, mask) specialized programs, memoized across the
+    #   population — slightly faster per image (38.5 ms) when mask patterns
+    #   repeat (heuristic families, re-evaluation, serving).
+    mode: str = "dynamic"
 
 
 class CandidateEvaluator:

@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed-step", type=int, default=1)
     p.add_argument("--scorer", default="mock",
                    help="scorer registry name (mock | image_reward | clip)")
+    p.add_argument("--eval-mode", default="dynamic",
+                   choices=["dynamic", "stepwise"],
+                   help="candidate-eval execution mode (EvalConfig.mode): "
+                        "dynamic = one lax.cond program for the whole "
+                        "population; stepwise = memoized per-(step,mask) "
+                        "programs")
     p.add_argument("--num-prompts", type=int, default=4,
                    help="number of prompt embeddings (random unless "
                         "--embeddings-dir)")
@@ -163,6 +169,7 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
             seed_step=args.seed_step,
             scorer=args.scorer,
             batch_size=args.batch_size,
+            mode=args.eval_mode,
         ),
     )
 
@@ -226,6 +233,7 @@ def _build_flux_evaluator(args):
             seed_step=args.seed_step,
             scorer=args.scorer,
             batch_size=args.batch_size,
+            mode=args.eval_mode,
         ),
     )
 

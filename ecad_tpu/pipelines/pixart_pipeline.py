@@ -323,7 +323,9 @@ class PopulationDenoiser:
     schedule-faithful compute skipping, slightly lower peak throughput than
     the specialized unrolled program. Use this for NSGA-II generations
     (hundreds of distinct schedules), the unrolled mode for serving a
-    single schedule.
+    single schedule. Measured full-size PixArt-α 256 on v5e (batch 8):
+    ~5 min one-time compile, 39.8 ms/img — vs 34.8 unrolled / 38.5
+    stepwise, with zero per-candidate compilation.
     """
 
     def __init__(self, pipeline: "PixArtPipeline"):
