@@ -194,3 +194,16 @@ def test_evaluator_resumes_partial_scores(tmp_path):
     kept = json.loads((d / "scores.json").read_text())
     assert kept["total_score"] == 123.0
     assert mgr.check_offline_eval()
+
+
+def test_eval_mode_default_and_flag():
+    """Population eval defaults to the dynamic single-program mode; the
+    train CLI exposes --eval-mode and plumbs it into EvalConfig."""
+    from ecad_tpu.genetic.evaluate import EvalConfig
+    from ecad_tpu.genetic.train import build_parser
+
+    assert EvalConfig().mode == "dynamic"
+    args = build_parser().parse_args(["--name", "x"])
+    assert args.eval_mode == "dynamic"
+    args = build_parser().parse_args(["--name", "x", "--eval-mode", "stepwise"])
+    assert args.eval_mode == "stepwise"
