@@ -1,3 +1,4 @@
+from .distributed import host_shard, initialize, is_coordinator
 from .mesh import (
     LOGICAL_AXIS_RULES,
     batch_sharding,
@@ -14,4 +15,7 @@ __all__ = [
     "shard_params",
     "batch_sharding",
     "replicated",
+    "initialize",
+    "host_shard",
+    "is_coordinator",
 ]

@@ -50,3 +50,24 @@ def test_dp_sharded_evaluation_matches_single_device():
         atol=1,
     )
     assert scores_plain["total_score"] == scores_sharded["total_score"]
+
+
+def test_distributed_single_process_noop_and_host_shard(monkeypatch):
+    """initialize() is a no-op without pod env vars; host_shard strides by
+    process index (single process → identity)."""
+    import ecad_tpu.parallel as par
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    par.initialize()  # must not raise or spawn a coordinator
+    assert par.host_shard([1, 2, 3]) == [1, 2, 3]
+    assert par.is_coordinator()
+
+    # strided split semantics across a simulated 2-process world
+    import ecad_tpu.parallel.distributed as dist
+
+    monkeypatch.setattr(dist.jax, "process_index", lambda: 1)
+    monkeypatch.setattr(dist.jax, "process_count", lambda: 2)
+    assert dist.host_shard(list(range(5))) == [1, 3]
+    assert not dist.is_coordinator()
