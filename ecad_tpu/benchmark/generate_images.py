@@ -82,6 +82,9 @@ def main(argv=None) -> None:
     p.add_argument("--random-weights", action="store_true")
     args = p.parse_args(argv)
 
+    from ..parallel import initialize as _init_distributed
+
+    _init_distributed()  # no-op unless pod env vars are set
     gen_type = get_image_generator_type(args.image_generator)
     if args.schedule is not None:
         generate_for_schedule(
@@ -98,8 +101,13 @@ def main(argv=None) -> None:
         random_weights=args.random_weights or args.weights_root is None,
         batch_size=args.batch_size,
     )
+    # multi-host: each process renders its strided shard of the schedule
+    # tree (the framework replacement for the reference's by-hand
+    # prompt-file sharding, assets/docs/datasets.md); single process → all
+    from ..parallel import host_shard
+
     total = 0
-    for sp in sorted(args.schedule_dir.rglob("*.json")):
+    for sp in host_shard(sorted(args.schedule_dir.rglob("*.json"))):
         rel = sp.parent.relative_to(args.schedule_dir)
         total += generate_for_schedule(
             gen_type, sp, args.input_embeddings, args.output_dir / rel, args,

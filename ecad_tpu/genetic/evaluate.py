@@ -161,12 +161,21 @@ class CandidateEvaluator:
         verbose: bool = True,
     ) -> dict[int, dict]:
         """Run the full offline-eval stage: per-candidate scores.json +
-        analytic MACs written into candidate JSONs."""
+        analytic MACs written into candidate JSONs.
+
+        Multi-host: each process evaluates its `host_shard` of the
+        candidates (strided by process index); with a shared filesystem the
+        per-candidate scores.json contract makes the cross-host gather
+        free and `check_offline_eval` the barrier."""
         import json
+
+        from ..parallel import host_shard, is_coordinator
 
         results = {}
         t0 = time.perf_counter()
-        for idx, sched in manager.load_population_schedules(generation):
+        for idx, sched in host_shard(
+            list(manager.load_population_schedules(generation))
+        ):
             cand_dir = manager.score_dir(generation) / f"cand_{idx:03d}"
             score_file = cand_dir / "scores.json"
             if skip_existing and score_file.exists():
@@ -182,7 +191,8 @@ class CandidateEvaluator:
                     f"  cand_{idx:03d}: total_score="
                     f"{scores['total_score']:.4f} ({dt:.1f}s elapsed)"
                 )
-        manager.compute_macs_for_generation(generation)
+        if is_coordinator():
+            manager.compute_macs_for_generation(generation)
         return results
 
 

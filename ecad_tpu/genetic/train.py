@@ -291,6 +291,10 @@ def train_one_cycle(args, manager, algo: NSGA2, evaluator) -> None:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+
+    from ..parallel import initialize as _init_distributed
+
+    _init_distributed()  # no-op unless pod env vars are set
     manager = initialize_manager(args)
 
     ckpt = manager.checkpoint_path()

@@ -207,3 +207,53 @@ def test_eval_mode_default_and_flag():
     assert args.eval_mode == "dynamic"
     args = build_parser().parse_args(["--name", "x", "--eval-mode", "stepwise"])
     assert args.eval_mode == "stepwise"
+
+
+def test_evaluate_generation_host_sharding(tmp_path, monkeypatch):
+    """With N>1 processes, each evaluates its strided candidate shard and
+    only the coordinator computes MACs (multi-host offline eval)."""
+    import jax
+    import jax.numpy as jnp
+
+    import ecad_tpu.parallel.distributed as dist
+    from ecad_tpu.genetic import (
+        CandidateEvaluator,
+        EvalConfig,
+        PixArtPopulationIOManager,
+    )
+    from ecad_tpu.models import PixArtConfig, init_params
+    from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
+    from ecad_tpu.schedules import PixArtCacheSchedule
+
+    cfg = PixArtConfig.tiny(dtype=jnp.float32)
+    _, params = init_params(cfg, 0)
+    pipe = PixArtPipeline(
+        PixArtPipelineConfig(model=cfg, num_inference_steps=3), params
+    )
+    mgr = PixArtPopulationIOManager(
+        "shards",
+        all_populations_dir=tmp_path / "p",
+        all_benchmarks_dir=tmp_path / "b",
+        num_inference_steps=3,
+        default_schedule=PixArtCacheSchedule.default(
+            num_inference_steps=3, num_blocks=cfg.num_blocks
+        ),
+    )
+    rng = np.random.default_rng(0)
+    mgr.save_population(rng.random((4, mgr.n_var)) < 0.5)
+    text = jnp.zeros((2, cfg.text_len, cfg.caption_dim), cfg.dtype)
+    neg = jnp.zeros((2, cfg.text_len, cfg.caption_dim), cfg.dtype)
+    ev = CandidateEvaluator(pipe, text, neg, ["a", "b"], EvalConfig())
+
+    monkeypatch.setattr(dist.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(dist.jax, "process_index", lambda: 1)
+    res1 = ev.evaluate_generation(mgr, verbose=False)
+    assert sorted(res1) == [1, 3]
+    # non-coordinator must not have computed MACs
+    idx, sched = next(iter(mgr.load_population_schedules()))
+    assert "total_macs_T" not in (sched.metrics or {})
+
+    monkeypatch.setattr(dist.jax, "process_index", lambda: 0)
+    res0 = ev.evaluate_generation(mgr, verbose=False)
+    assert sorted(res0) == [0, 2]
+    assert mgr.check_offline_eval()  # union covers the population + MACs
