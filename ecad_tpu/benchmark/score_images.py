@@ -111,10 +111,14 @@ def main(argv=None) -> None:
             pid = m.group("pid") if m else name.split("__")[0]
             prompts_by_id[normalize_prompt_id(pid)] = prompt
 
-    # leaf dirs = dirs containing pngs directly
-    leaf_dirs = sorted(
-        {p.parent for p in args.image_dir.rglob("*.png")}
-    ) or [args.image_dir]
+    from ..parallel import host_shard, initialize as _init_distributed
+
+    _init_distributed()  # no-op unless pod env vars are set
+    # leaf dirs = dirs containing pngs directly; multi-host: strided shard
+    leaf_dirs = host_shard(
+        sorted({p.parent for p in args.image_dir.rglob("*.png")})
+        or [args.image_dir]
+    )
     n = 0
     for d in leaf_dirs:
         if score_schedule_dir(
