@@ -256,11 +256,18 @@ def init_gen_0(args, manager: PopulationIOManager, algo: NSGA2) -> None:
                 sys.exit(1)
         X0 = algo.initialize()
     manager.generation_num = max(manager.generation_num, 1)
-    manager.save_population(X0)
-    manager.save_config()
+    from ..parallel import barrier, is_coordinator
+
+    if is_coordinator():
+        manager.save_population(X0)
+        manager.save_config()
+    barrier("gen-0-seeded")
 
 
 def train_one_cycle(args, manager, algo: NSGA2, evaluator) -> None:
+    from ..parallel import barrier, is_coordinator
+
+    gen = manager.generation_num
     if not manager.check_offline_eval():
         if args.print_not_submit:
             print(
@@ -273,15 +280,23 @@ def train_one_cycle(args, manager, algo: NSGA2, evaluator) -> None:
             sys.exit(0)
         print(f"Evaluating generation {manager.generation_num}…")
         evaluator.evaluate_generation(manager)
+        # multi-host: every process evaluated its candidate shard; wait for
+        # all shards (and the coordinator's MACs pass) before checking
+        barrier(f"offline-eval-{gen}")
         if not manager.check_offline_eval():
             raise RuntimeError("offline evaluation incomplete after eval run")
+    # tell/ask is deterministic (same on-disk X/F/G, same RNG state), so
+    # every host computes the identical next population; only the
+    # coordinator writes it.
     X, F, G = manager.ask()
     algo.tell(X, F, G)
     next_X = algo.ask()
     manager.generation_num += 1
-    manager.save_population(next_X)
-    manager.save_config()
-    algo.save(manager.checkpoint_path())
+    if is_coordinator():
+        manager.save_population(next_X)
+        manager.save_config()
+        algo.save(manager.checkpoint_path())
+    barrier(f"gen-saved-{gen}")
     print(
         f"Generation {manager.generation_num} saved "
         f"({len(next_X)} candidates). Pareto front size: "

@@ -1,4 +1,4 @@
-from .distributed import host_shard, initialize, is_coordinator
+from .distributed import barrier, host_shard, initialize, is_coordinator
 from .mesh import (
     LOGICAL_AXIS_RULES,
     batch_sharding,
@@ -18,4 +18,5 @@ __all__ = [
     "initialize",
     "host_shard",
     "is_coordinator",
+    "barrier",
 ]

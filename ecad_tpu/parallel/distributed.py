@@ -79,3 +79,15 @@ def is_coordinator() -> bool:
     """True on the process that should write shared artifacts (configs,
     checkpoints) when the filesystem is shared."""
     return jax.process_index() == 0
+
+
+def barrier(name: str) -> None:
+    """Block until every process reaches this point (no-op single-process).
+
+    Used by the search loop to sequence sharded offline eval against the
+    completeness check and the coordinator's generation writes."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
