@@ -53,6 +53,11 @@ class EvalConfig:
     # "stepwise": per-(step, mask) specialized programs, memoized across the
     #   population — slightly faster per image (38.5 ms) when mask patterns
     #   repeat (heuristic families, re-evaluation, serving).
+    # Memory note: the dynamic program keeps EVERY component cache alive
+    #   (lax.cond cannot DCE them), so its HBM footprint is the worst case
+    #   over schedules. PixArt fits easily; FLUX-scale models need the
+    #   caches sharded over a mesh (tp/dp) or mode="stepwise", whose
+    #   specialized programs only materialize the caches a schedule reuses.
     mode: str = "dynamic"
 
 
