@@ -175,3 +175,55 @@ def test_embeddings_modes(workspace, tmp_path):
     )
     assert len(list((tmp_path / "mjhq_emb" / "animals").glob("*.pt"))) == 2
     assert len(list((tmp_path / "mjhq_emb" / "food").glob("*.pt"))) == 1
+
+
+def test_generate_and_score_shard_by_process(tmp_path, monkeypatch):
+    """generate_images --schedule-dir and score_images each process only
+    this host's strided shard (multi-host work partitioning)."""
+    from ecad_tpu.benchmark import generate_embeddings, generate_images
+    from ecad_tpu.benchmark import score_images as score_mod
+    from ecad_tpu.schedules.generators import save_schedules
+    from ecad_tpu.schedules.generators.pixart_cache import (
+        gen_recompute_all_every_n,
+    )
+    import ecad_tpu.parallel.distributed as dist
+
+    pf = tmp_path / "p.txt"
+    pf.write_text("one prompt\n")
+    generate_embeddings.main(
+        ["TinyPixArtImageGenerator", "--prompt-file", str(pf),
+         "--output-dir", str(tmp_path / "emb"), "--random-weights"]
+    )
+    scheds = [s for s in gen_recompute_all_every_n(2, 3)][:2]
+    save_schedules(scheds, tmp_path / "scheds", verbose=False)
+
+    # simulate process 1 of 2: only the second schedule renders
+    monkeypatch.setattr(dist.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(dist.jax, "process_index", lambda: 1)
+    generate_images.main(
+        ["TinyPixArtImageGenerator",
+         "--input-embeddings", str(tmp_path / "emb"),
+         "--output-dir", str(tmp_path / "imgs"),
+         "--schedule-dir", str(tmp_path / "scheds")]
+    )
+    dirs = sorted(d.name for d in (tmp_path / "imgs").iterdir())
+    assert dirs == ["recompute_all_every_003"]
+
+    # process 0 of 2 renders the other one
+    monkeypatch.setattr(dist.jax, "process_index", lambda: 0)
+    generate_images.main(
+        ["TinyPixArtImageGenerator",
+         "--input-embeddings", str(tmp_path / "emb"),
+         "--output-dir", str(tmp_path / "imgs"),
+         "--schedule-dir", str(tmp_path / "scheds")]
+    )
+    dirs = sorted(d.name for d in (tmp_path / "imgs").iterdir())
+    assert dirs == ["recompute_all_every_002", "recompute_all_every_003"]
+
+    # scoring shards by leaf dir the same way
+    score_mod.main(
+        ["--image-dir", str(tmp_path / "imgs"), "--scorer", "mock",
+         "--naming", "parti", "--prompt-file", str(pf)]
+    )
+    scored = sorted(p.parent.name for p in (tmp_path / "imgs").rglob("scores.json"))
+    assert scored == ["recompute_all_every_002"]
