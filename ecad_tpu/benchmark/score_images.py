@@ -81,6 +81,12 @@ def score_schedule_dir(
         images.append(np.asarray(Image.open(p).convert("RGB")))
         prompts.append(prompts_by_id.get(pid, pid))
         ids.append(pid)
+    if not images:
+        print(
+            f"Skipping {image_dir}: none of {len(pngs)} filenames match "
+            f"naming mode '{naming}' — check --naming."
+        )
+        return None
     scorer = get_scorer(scorer_name)
     result = scorer(np.stack(images), prompts, ids)
     with score_file.open("w") as f:

@@ -227,3 +227,24 @@ def test_generate_and_score_shard_by_process(tmp_path, monkeypatch):
     )
     scored = sorted(p.parent.name for p in (tmp_path / "imgs").rglob("scores.json"))
     assert scored == ["recompute_all_every_002"]
+
+
+def test_score_images_naming_mismatch_is_not_a_crash(tmp_path, capsys):
+    """All-files-unparseable must skip with a --naming hint, not crash on
+    np.stack([]) (found by driving the CLI with the wrong naming mode)."""
+    import numpy as np
+    from PIL import Image
+
+    from ecad_tpu.benchmark import score_images as score_mod
+
+    d = tmp_path / "imgs" / "sched"
+    d.mkdir(parents=True)
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        d / "0000__prompt_seed:000__image_seed:000.png"
+    )
+    score_mod.main(
+        ["--image-dir", str(tmp_path / "imgs"), "--scorer", "mock"]
+    )
+    out = capsys.readouterr().out
+    assert "check --naming" in out and "Scored 0 directories" in out
+    assert not (d / "scores.json").exists()
