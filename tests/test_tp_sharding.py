@@ -1,0 +1,142 @@
+"""Tensor-parallel (tp>=2) correctness on the virtual 8-device CPU mesh.
+
+The reference has no tensor parallelism (it fits FLUX on a 48GB A6000,
+ecad/transformer_2d_models/flux_transformer_2d_edited.py:92-98); on TPU the
+equivalent capability is Megatron-style tp over attention heads / MLP hidden
+(LOGICAL_AXIS_RULES in ecad_tpu/parallel/mesh.py). These tests verify that
+the tp partitioning is numerically a no-op: sharded denoise/eval must match
+the single-device result, and a full-width FLUX block (dim 3072, 24x128
+heads, mlp 12288 -- the real FLUX.1-dev shape) must run tp-sharded.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ecad_tpu.genetic import CandidateEvaluator, EvalConfig
+from ecad_tpu.models import (
+    FluxConfig,
+    FluxTransformer,
+    PixArtConfig,
+    full_flux_mask,
+    init_flux_params,
+    init_params,
+)
+from ecad_tpu.models.flux import init_flux_cache
+from ecad_tpu.parallel import batch_sharding, create_mesh, shard_params
+from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
+from ecad_tpu.schedules import PixArtCacheSchedule
+
+STEPS = 3
+
+
+def _pixart_fixture():
+    config = PixArtConfig.tiny(dtype=jnp.float32)
+    _, params = init_params(config, 0)
+    pcfg = PixArtPipelineConfig(model=config, num_inference_steps=STEPS)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    p = 8
+    text = jax.random.normal(k1, (p, config.text_len, config.caption_dim))
+    neg = jax.random.normal(k2, (p, config.text_len, config.caption_dim))
+    prompts = [f"p{i}" for i in range(p)]
+
+    rng = np.random.default_rng(0)
+    sched = PixArtCacheSchedule.from_numpy(
+        rng.random(STEPS * config.num_blocks * 3) < 0.5,
+        STEPS,
+        config.num_blocks,
+    )
+    return config, params, pcfg, text, neg, prompts, sched
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (4, 2), (2, 4)])
+def test_tp_sharded_evaluation_matches_single_device(dp, tp):
+    """HEADS/MLP partitioning over tp (and dp x tp meshes) must reproduce
+    the single-device candidate evaluation bit-for-bit up to reduction
+    order."""
+    config, params, pcfg, text, neg, prompts, sched = _pixart_fixture()
+
+    plain = CandidateEvaluator(
+        PixArtPipeline(pcfg, params), text, neg, prompts, EvalConfig()
+    )
+    scores_plain, images_plain = plain.evaluate_candidate(sched)
+
+    mesh = create_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+    sharded_params = shard_params(params, mesh)
+    with mesh:
+        sharded = CandidateEvaluator(
+            PixArtPipeline(pcfg, sharded_params), text, neg, prompts,
+            EvalConfig(), mesh=mesh,
+        )
+        scores_sharded, images_sharded = sharded.evaluate_candidate(sched)
+
+    np.testing.assert_allclose(
+        images_plain.astype(np.int32), images_sharded.astype(np.int32),
+        atol=1,
+    )
+    np.testing.assert_allclose(
+        scores_plain["total_score"], scores_sharded["total_score"], rtol=1e-3
+    )
+
+
+def test_flux_full_width_block_tp_sharded():
+    """One dual + one single FLUX block at the real FLUX.1-dev width
+    (dim 3072, 24 heads x 128, mlp 12288) runs tp=2-sharded and matches the
+    unsharded result. This is the capability the reference gets from a 48GB
+    GPU; see docs/flux_hbm_accounting.md for the full-model v5e-8 budget."""
+    config = FluxConfig(
+        num_blocks=1,
+        num_single_blocks=1,
+        text_len=16,
+        dtype=jnp.float32,
+    )
+    assert config.dim == 3072 and config.num_heads * config.head_dim == 3072
+    model, params = init_flux_params(config, 0)
+
+    b, gh, gw = 2, 4, 4
+    t_img = gh * gw
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    latents = jax.random.normal(k1, (b, t_img, config.in_channels))
+    txt = jax.random.normal(k2, (b, config.text_len, config.joint_dim))
+    pooled = jax.random.normal(k3, (b, config.pooled_dim))
+    t = jnp.full((b,), 0.5, jnp.float32)
+    g = jnp.full((b,), 3.5, jnp.float32)
+    mask = full_flux_mask(config)
+
+    def fwd(p, latents, txt, pooled):
+        out, _ = model.apply(
+            {"params": p}, latents, txt, pooled, t, g, init_flux_cache(),
+            mask, (gh, gw),
+        )
+        return out
+
+    out_plain = jax.jit(fwd)(params, latents, txt, pooled)
+
+    mesh = create_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    sharded = shard_params(params, mesh)
+    bs = batch_sharding(mesh)
+    with mesh:
+        out_sharded = jax.jit(fwd)(
+            sharded,
+            jax.device_put(latents, bs),
+            jax.device_put(txt, bs),
+            jax.device_put(pooled, bs),
+        )
+        out_sharded = jax.block_until_ready(out_sharded)
+
+    # the tp shards actually partition the big kernels
+    flat = jax.tree_util.tree_leaves_with_path(sharded)
+    partitioned = [
+        (jax.tree_util.keystr(k), v.sharding.spec)
+        for k, v in flat
+        if any(s is not None for s in v.sharding.spec)
+    ]
+    assert any("to_q" in k for k, _ in partitioned), partitioned
+    assert any("ff_in" in k or "proj_mlp" in k for k, _ in partitioned)
+
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_sharded), rtol=2e-4, atol=2e-4
+    )
