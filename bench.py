@@ -41,26 +41,17 @@ def sync(x) -> float:
     scalar reduction — the 4-byte transfer completes only after the device
     has drained its (serialized) execution queue."""
     return float(_scalar_sum(x))
-OURS_FAST = (
-    "/root/reference/schedules/schedules_in_paper/pixart_alpha_256/ours_fast.json"
+# vendored paper artifact (see schedules/README.md)
+OURS_FAST = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "schedules/schedules_in_paper/pixart_alpha_256/ours_fast.json",
 )
 
 
 def load_schedule():
-    import pathlib
-
     from ecad_tpu.schedules import PixArtCacheSchedule
-    from ecad_tpu.schedules.generators import pixart_cache
 
-    p = pathlib.Path(OURS_FAST)
-    if p.exists():
-        return PixArtCacheSchedule.from_json(p)
-    # fallback: FORA-style recompute-every-2 (2.88 TMACs) if the reference
-    # checkout is not mounted
-    for s in pixart_cache.gen_recompute_all_every_n(28, 20):
-        if s.name == "recompute_all_every_002":
-            return s
-    raise RuntimeError("no schedule available")
+    return PixArtCacheSchedule.from_json(OURS_FAST)
 
 
 def time_denoise(pipe, params, text, neg, noise) -> float:

@@ -28,8 +28,9 @@ LADDER = {
     "ours_fast": 2620.09 / 1016.59,
     "ours_faster": 2620.09 / 778.17,
 }
-SCHED_DIR = pathlib.Path(
-    "/root/reference/schedules/schedules_in_paper/flux_256"
+SCHED_DIR = (  # vendored paper artifacts (schedules/README.md)
+    pathlib.Path(__file__).resolve().parent.parent
+    / "schedules/schedules_in_paper/flux_256"
 )
 BATCH = 8  # 16 exceeds 1-chip HBM by ~0.7 GB on the 20-step unrolled program
 WARMUP = 2

@@ -22,8 +22,9 @@ LADDER = {
     "ours_faster": 165.74 / 69.17,
     "ours_fastest": 165.74 / 64.24,
 }
-SCHED_DIR = pathlib.Path(
-    "/root/reference/schedules/schedules_in_paper/pixart_alpha_256"
+SCHED_DIR = (  # vendored paper artifacts (schedules/README.md)
+    pathlib.Path(__file__).resolve().parent.parent
+    / "schedules/schedules_in_paper/pixart_alpha_256"
 )
 
 

@@ -24,8 +24,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import bench  # repo-root bench.py: sync + cache-dir setup
 
-SCHED_DIR = pathlib.Path(
-    "/root/reference/schedules/schedules_in_paper/pixart_alpha_256"
+SCHED_DIR = (  # vendored paper artifacts (schedules/README.md)
+    pathlib.Path(__file__).resolve().parent.parent
+    / "schedules/schedules_in_paper/pixart_alpha_256"
 )
 BATCH = 32
 SAMPLES = 5

@@ -26,12 +26,22 @@ import pathlib
 
 import pytest
 
-REFERENCE_ROOT = pathlib.Path("/root/reference")
+# ECAD_REFERENCE_ROOT lets CI simulate the reference being unmounted
+REFERENCE_ROOT = pathlib.Path(
+    os.environ.get("ECAD_REFERENCE_ROOT", "/root/reference")
+)
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
 @pytest.fixture(scope="session")
 def reference_root() -> pathlib.Path:
-    """Path to the upstream reference checkout (golden-file tests only)."""
-    if not REFERENCE_ROOT.exists():
-        pytest.skip("reference checkout not available")
-    return REFERENCE_ROOT
+    """Root for golden-file artifacts (schedules/, prompts/ subdirs).
+
+    Prefers the upstream reference checkout for maximum breadth (e.g. the
+    full ~1300-file MACs sweep); falls back to the vendored in-repo subset
+    (schedules/README.md) so the suite stays green with the reference
+    unmounted. Tests parametrized over directories not in the vendored
+    subset skip individually."""
+    if REFERENCE_ROOT.exists():
+        return REFERENCE_ROOT
+    return REPO_ROOT

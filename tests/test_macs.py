@@ -4,6 +4,8 @@ bit-for-bit for every schedule JSON that carries by_inference_step metrics."""
 import json
 import pathlib
 
+import conftest
+
 import pytest
 
 from ecad_tpu.macs import (
@@ -78,7 +80,9 @@ def test_pixart_macs_exact_everywhere(reference_root):
             skipped_1024_weight_confusion += 1
         _exact_check(s, d, p)
         n += 1
-    assert n > 1000, f"only {n} pixart files checked"
+    # full reference checkout: ~1300 files; vendored in-repo subset: 166
+    full_breadth = reference_root == conftest.REFERENCE_ROOT
+    assert n > (1000 if full_breadth else 100), f"only {n} pixart files checked"
     assert skipped_1024_weight_confusion > 0
 
 
@@ -88,7 +92,8 @@ def test_flux_macs_exact_everywhere(reference_root):
         s = FluxCacheSchedule.from_dict(d)
         _exact_check(s, d, p)
         n += 1
-    assert n > 30, f"only {n} flux files checked"
+    full_breadth = reference_root == conftest.REFERENCE_ROOT
+    assert n > (30 if full_breadth else 15), f"only {n} flux files checked"
 
 
 def test_headline_totals(reference_root):
