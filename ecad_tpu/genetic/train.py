@@ -57,6 +57,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed-step", type=int, default=1)
     p.add_argument("--scorer", default="mock",
                    help="scorer registry name (mock | image_reward | clip)")
+    p.add_argument("--weights-root", type=Path, default=None,
+                   help="root of local HF-layout checkpoints (e.g. "
+                        "<root>/PixArt-alpha/PixArt-XL-2-256x256/"
+                        "{transformer,text_encoder,vae,...}). Loads REAL "
+                        "weights + VAE decode into the eval loop — the "
+                        "reference's full search "
+                        "(train_nsga2_single_gpu.py:198-232)")
+    p.add_argument("--transformer-weights", default=None,
+                   help="repo name under --weights-root overriding the "
+                        "model family default")
+    p.add_argument("--image-reward-dir", type=Path, default=None,
+                   help="directory holding ImageReward.pt and a BERT "
+                        "tokenizer dir (vocab.txt); required with "
+                        "--scorer image_reward unless the "
+                        "ECAD_IMAGE_REWARD_* env vars are set")
+    p.add_argument("--prompt-file", type=Path, default=None,
+                   help="text file of prompts (one per line) encoded with "
+                        "the real text encoder when --weights-root is set; "
+                        "also supplies the prompt text image_reward scores "
+                        "against")
     p.add_argument("--eval-mode", default="dynamic",
                    choices=["dynamic", "stepwise"],
                    help="candidate-eval execution mode (EvalConfig.mode): "
@@ -120,6 +140,59 @@ def initialize_manager(args) -> PopulationIOManager:
     return cls(**kwargs)
 
 
+def resolve_scorer_weights(args) -> None:
+    """Fail loudly at startup — not mid-generation — when a real scorer
+    lacks weights (VERDICT r1 item 3). --image-reward-dir populates the
+    env vars the scorer registry reads."""
+    if args.scorer != "image_reward":
+        return
+    import os
+
+    if args.image_reward_dir is not None:
+        d = Path(args.image_reward_dir)
+        ckpt = d / "ImageReward.pt"
+        if not ckpt.exists():
+            raise SystemExit(f"--image-reward-dir: {ckpt} not found")
+        if (d / "vocab.txt").exists():
+            tok = d
+        else:
+            toks = sorted(p.parent for p in d.glob("*/vocab.txt"))
+            if not toks:
+                raise SystemExit(
+                    f"--image-reward-dir: no BERT tokenizer (vocab.txt) "
+                    f"under {d}"
+                )
+            tok = toks[0]
+        os.environ["ECAD_IMAGE_REWARD_CHECKPOINT"] = str(ckpt)
+        os.environ["ECAD_IMAGE_REWARD_TOKENIZER"] = str(tok)
+    if not (
+        os.environ.get("ECAD_IMAGE_REWARD_CHECKPOINT")
+        and os.environ.get("ECAD_IMAGE_REWARD_TOKENIZER")
+    ):
+        raise SystemExit(
+            "--scorer image_reward needs weights: pass --image-reward-dir "
+            "(ImageReward.pt + BERT tokenizer) or set "
+            "ECAD_IMAGE_REWARD_CHECKPOINT / ECAD_IMAGE_REWARD_TOKENIZER"
+        )
+    if args.weights_root is None:
+        raise SystemExit(
+            "--scorer image_reward without --weights-root would score "
+            "latent visualizations, not VAE-decoded images — pass "
+            "--weights-root (or use --scorer mock for smoke runs)"
+        )
+
+
+def _encoded_entries(args, generator):
+    """Prompt embeddings via the real text encoder (--prompt-file)."""
+    prompts = [
+        line.strip()
+        for line in Path(args.prompt_file).read_text().splitlines()
+        if line.strip()
+    ]
+    entries = generator.encode_prompts(prompts)
+    return entries, prompts
+
+
 def build_evaluator(args, manager) -> CandidateEvaluator:
     import jax
     import jax.numpy as jnp
@@ -129,14 +202,46 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
 
     if args.model_family == "flux":
         return _build_flux_evaluator(args)
-    config = (
-        PixArtConfig.tiny(dtype=jnp.float32) if args.tiny_model else PixArtConfig()
-    )
-    _, params = init_params(config, args.seed)
-    pcfg = PixArtPipelineConfig(
-        model=config, num_inference_steps=args.num_inference_steps
-    )
-    pipeline = PixArtPipeline(pcfg, params)
+
+    decode_fn = None
+    prompt_texts = None
+    if args.weights_root is not None:
+        from ..image_generators import PixArtAlphaImageGenerator
+
+        gen = PixArtAlphaImageGenerator(
+            start_seed=args.start_seed,
+            seed_step=args.seed_step,
+            weights_root=args.weights_root,
+            num_inference_steps=args.num_inference_steps,
+        )
+        if args.transformer_weights:
+            gen.transformer_weights = args.transformer_weights
+        config = gen.model_config()
+        pipeline = gen.create_diffusion_pipeline()
+        decode_fn = gen.decode_latents
+        if args.prompt_file is not None:
+            entries, prompt_texts = _encoded_entries(args, gen)
+            text = jnp.stack(
+                [jnp.asarray(e["prompt_embeds"]) for e in entries]
+            ).astype(config.dtype)
+            neg = jnp.stack(
+                [jnp.asarray(e["negative_prompt_embeds"]) for e in entries]
+            ).astype(config.dtype)
+            return CandidateEvaluator(
+                pipeline, text, neg, prompt_texts,
+                _eval_config(args), decode_fn=decode_fn,
+            )
+    else:
+        config = (
+            PixArtConfig.tiny(dtype=jnp.float32)
+            if args.tiny_model
+            else PixArtConfig()
+        )
+        _, params = init_params(config, args.seed)
+        pcfg = PixArtPipelineConfig(
+            model=config, num_inference_steps=args.num_inference_steps
+        )
+        pipeline = PixArtPipeline(pcfg, params)
 
     if args.embeddings_dir is not None:
         from ..utils.io import load_embedding_dir
@@ -159,18 +264,18 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
         prompts = [f"prompt_{i}" for i in range(p)]
 
     return CandidateEvaluator(
-        pipeline,
-        text,
-        neg,
-        prompts,
-        EvalConfig(
-            images_per_prompt=args.images_per_prompt,
-            start_seed=args.start_seed,
-            seed_step=args.seed_step,
-            scorer=args.scorer,
-            batch_size=args.batch_size,
-            mode=args.eval_mode,
-        ),
+        pipeline, text, neg, prompts, _eval_config(args), decode_fn=decode_fn
+    )
+
+
+def _eval_config(args) -> EvalConfig:
+    return EvalConfig(
+        images_per_prompt=args.images_per_prompt,
+        start_seed=args.start_seed,
+        seed_step=args.seed_step,
+        scorer=args.scorer,
+        batch_size=args.batch_size,
+        mode=args.eval_mode,
     )
 
 
@@ -182,18 +287,48 @@ def _build_flux_evaluator(args):
     from ..pipelines.flux_pipeline import FluxPipeline, FluxPipelineConfig
     from .evaluate import FluxCandidateEvaluator
 
-    config = (
-        FluxConfig.tiny(dtype=jnp.float32) if args.tiny_model else FluxConfig()
-    )
-    _, params = init_flux_params(config, args.seed)
-    height = 64 if args.tiny_model else 256
-    pcfg = FluxPipelineConfig(
-        model=config,
-        num_inference_steps=args.num_inference_steps,
-        height=height,
-        width=height,
-    )
-    pipeline = FluxPipeline(pcfg, params)
+    decode_fn = None
+    if args.weights_root is not None:
+        from ..image_generators import FluxImageGenerator
+
+        gen = FluxImageGenerator(
+            start_seed=args.start_seed,
+            seed_step=args.seed_step,
+            weights_root=args.weights_root,
+            num_inference_steps=args.num_inference_steps,
+        )
+        if args.transformer_weights:
+            gen.transformer_weights = args.transformer_weights
+        config = gen.model_config()
+        pipeline = gen.create_diffusion_pipeline()
+        decode_fn = gen.decode_latents
+        if args.prompt_file is not None:
+            entries, prompt_texts = _encoded_entries(args, gen)
+            text = jnp.stack(
+                [jnp.asarray(e["prompt_embeds"]) for e in entries]
+            ).astype(config.dtype)
+            pooled = jnp.stack(
+                [jnp.asarray(e["pooled_prompt_embeds"]) for e in entries]
+            ).astype(config.dtype)
+            return FluxCandidateEvaluator(
+                pipeline, text, pooled, prompt_texts,
+                _eval_config(args), decode_fn=decode_fn,
+            )
+    else:
+        config = (
+            FluxConfig.tiny(dtype=jnp.float32)
+            if args.tiny_model
+            else FluxConfig()
+        )
+        _, params = init_flux_params(config, args.seed)
+        height = 64 if args.tiny_model else 256
+        pcfg = FluxPipelineConfig(
+            model=config,
+            num_inference_steps=args.num_inference_steps,
+            height=height,
+            width=height,
+        )
+        pipeline = FluxPipeline(pcfg, params)
     if args.embeddings_dir is not None:
         import jax.numpy as _jnp
 
@@ -223,18 +358,8 @@ def _build_flux_evaluator(args):
         )
         prompts = [f"prompt_{i}" for i in range(p)]
     return FluxCandidateEvaluator(
-        pipeline,
-        text,
-        pooled,
-        prompts,
-        EvalConfig(
-            images_per_prompt=args.images_per_prompt,
-            start_seed=args.start_seed,
-            seed_step=args.seed_step,
-            scorer=args.scorer,
-            batch_size=args.batch_size,
-            mode=args.eval_mode,
-        ),
+        pipeline, text, pooled, prompts, _eval_config(args),
+        decode_fn=decode_fn,
     )
 
 
@@ -306,6 +431,7 @@ def train_one_cycle(args, manager, algo: NSGA2, evaluator) -> None:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    resolve_scorer_weights(args)
 
     from ..parallel import initialize as _init_distributed
 

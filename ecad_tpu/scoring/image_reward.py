@@ -227,12 +227,15 @@ class ImageRewardModel(nn.Module):
 class ImageRewardScorer:
     """Callable scorer for the registry (weights required)."""
 
-    def __init__(self, params, tokenizer, vit=None, bert=None):
+    def __init__(
+        self, params, tokenizer, vit=None, bert=None,
+        mlp_dims=(1024, 128, 64, 16, 1),
+    ):
         self.vit = vit or ViTConfig()
         self.bert = bert or BertConfig()
         self.params = params
         self.tokenizer = tokenizer
-        self.model = ImageRewardModel(self.vit, self.bert)
+        self.model = ImageRewardModel(self.vit, self.bert, mlp_dims=mlp_dims)
         self._score = jax.jit(
             lambda p, px, ids, m: self.model.apply({"params": p}, px, ids, m)
         )
@@ -249,10 +252,12 @@ class ImageRewardScorer:
         return cls(params, AutoTokenizer.from_pretrained(str(tokenizer_dir)))
 
     def preprocess(self, images: np.ndarray) -> jnp.ndarray:
-        """uint8 (N,H,W,3) → normalized 224² float tensor (bicubic resize)."""
+        """uint8 (N,H,W,3) → normalized float tensor at the ViT's input
+        resolution (224² for the real model; bicubic resize)."""
+        size = self.vit.image_size
         x = jnp.asarray(images, jnp.float32) / 255.0
         x = jax.image.resize(
-            x, (x.shape[0], IMAGE_SIZE, IMAGE_SIZE, 3), method="bicubic"
+            x, (x.shape[0], size, size, 3), method="bicubic"
         )
         mean = jnp.asarray(IMAGE_MEAN)
         std = jnp.asarray(IMAGE_STD)

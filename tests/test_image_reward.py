@@ -165,16 +165,12 @@ def test_bert_cross_parity_with_transformers():
     )
 
 
-def test_image_reward_synthetic_checkpoint():
-    """Conversion of an ImageReward.pt-layout state dict + end-to-end score."""
-    from ecad_tpu.scoring.image_reward import (
-        BertConfig,
-        ImageRewardModel,
-        ViTConfig,
-        convert_image_reward_state_dict,
-    )
-
-    rng = np.random.default_rng(0)
+def synthetic_image_reward_state(seed: int = 0) -> dict:
+    """ImageReward.pt-layout state dict for the tiny ViT/BERT configs
+    (ViTConfig.tiny / BertConfig.tiny(intermediate_size=64,
+    encoder_width=32), mlp_dims=(64, 16, 1)). Shared with the decode→score
+    integration test."""
+    rng = np.random.default_rng(seed)
     state = {}
 
     def lin(key, cin, cout):
@@ -230,11 +226,24 @@ def test_image_reward_synthetic_checkpoint():
     dims = [(bd, 64), (64, 16), (16, 1)]
     for j, (cin, cout) in enumerate(dims):
         lin(f"mlp.layers.{j}", cin, cout)
+    return state
 
+
+def test_image_reward_synthetic_checkpoint():
+    """Conversion of an ImageReward.pt-layout state dict + end-to-end score."""
+    from ecad_tpu.scoring.image_reward import (
+        BertConfig,
+        ImageRewardModel,
+        ViTConfig,
+        convert_image_reward_state_dict,
+    )
+
+    rng = np.random.default_rng(0)
+    state = synthetic_image_reward_state()
     params = convert_image_reward_state_dict(state)
     model = ImageRewardModel(
         ViTConfig.tiny(),
-        BertConfig.tiny(intermediate_size=64, encoder_width=vd),
+        BertConfig.tiny(intermediate_size=64, encoder_width=32),
         mlp_dims=(64, 16, 1),
     )
     px = jnp.asarray(
