@@ -133,6 +133,15 @@ class CandidateEvaluator:
         )
 
     def evaluate_candidate(self, schedule) -> tuple[dict, np.ndarray]:
+        """Runs under the evaluator's mesh context (if any) so sharding
+        constraints and collectives resolve without the caller managing
+        `with mesh:` scopes."""
+        if self.mesh is not None:
+            with self.mesh:
+                return self._evaluate_candidate(schedule)
+        return self._evaluate_candidate(schedule)
+
+    def _evaluate_candidate(self, schedule) -> tuple[dict, np.ndarray]:
         if self.config.mode == "dynamic":
             from ..models.pixart import schedule_mask_array
 
@@ -214,6 +223,7 @@ class FluxCandidateEvaluator(CandidateEvaluator):
         config: EvalConfig | None = None,
         prompt_ids=None,
         decode_fn=None,
+        mesh=None,  # Optional[jax.sharding.Mesh]: dp-shard the work batch
     ) -> None:
         from ..pipelines.flux_pipeline import (
             FluxPopulationDenoiser,
@@ -229,6 +239,7 @@ class FluxCandidateEvaluator(CandidateEvaluator):
         self.prompt_ids = list(prompt_ids) if prompt_ids else None
         self.config = config or EvalConfig()
         self.decode_fn = decode_fn or latents_to_uint8
+        self.mesh = mesh
 
     def _schedule_masks(self, schedule):
         from ..models.flux import flux_step_masks
@@ -263,7 +274,7 @@ class FluxCandidateEvaluator(CandidateEvaluator):
             ids,
         )
 
-    def evaluate_candidate(self, schedule):
+    def _evaluate_candidate(self, schedule):
         from ..models.flux import unpack_latents
         from ..scoring import get_scorer
 
@@ -285,9 +296,10 @@ class FluxCandidateEvaluator(CandidateEvaluator):
         imgs_all = []
         for lo in range(0, len(prompts), bs):
             hi = min(lo + bs, len(prompts))
-            packed = denoise(
-                masks, noise[lo:hi], text[lo:hi], pooled[lo:hi]
+            n_b, t_b, p_b = self._shard(
+                noise[lo:hi], text[lo:hi], pooled[lo:hi]
             )
+            packed = denoise(masks, n_b, t_b, p_b)
             imgs_all.append(
                 self.decode_fn(unpack_latents(packed, gh, gw))
             )

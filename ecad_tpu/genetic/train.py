@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "the real text encoder when --weights-root is set; "
                         "also supplies the prompt text image_reward scores "
                         "against")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh axis size (0 = derive from "
+                        "device count when --tp > 1, else no mesh)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh axis size (heads / MLP "
+                        "hidden; FLUX-scale models on v5e need tp>=2, see "
+                        "docs/flux_hbm_accounting.md)")
     p.add_argument("--eval-mode", default="dynamic",
                    choices=["dynamic", "stepwise"],
                    help="candidate-eval execution mode (EvalConfig.mode): "
@@ -193,6 +200,32 @@ def _encoded_entries(args, generator):
     return entries, prompts
 
 
+def _build_mesh(args):
+    """Mesh from --dp/--tp (None when neither is set)."""
+    if not args.dp and args.tp <= 1:
+        return None
+    from ..parallel import create_mesh
+
+    return create_mesh(dp=args.dp or None, tp=args.tp)
+
+
+def _shard_pipeline(pipeline, mesh, init_fn, *init_args):
+    """Re-place a pipeline's params onto the mesh per the model's
+    partitioning annotations (recovered abstractly for checkpoint-loaded
+    raw-array trees)."""
+    if mesh is None:
+        return pipeline
+    from flax import linen as nn
+
+    from ..parallel import abstract_boxed_params, shard_params
+
+    like = abstract_boxed_params(init_fn, *init_args)
+    pipeline.params = shard_params(
+        nn.meta.unbox(pipeline.params), mesh, like=like
+    )
+    return pipeline
+
+
 def build_evaluator(args, manager) -> CandidateEvaluator:
     import jax
     import jax.numpy as jnp
@@ -203,6 +236,7 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
     if args.model_family == "flux":
         return _build_flux_evaluator(args)
 
+    mesh = _build_mesh(args)
     decode_fn = None
     prompt_texts = None
     if args.weights_root is not None:
@@ -217,7 +251,10 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
         if args.transformer_weights:
             gen.transformer_weights = args.transformer_weights
         config = gen.model_config()
-        pipeline = gen.create_diffusion_pipeline()
+        pipeline = _shard_pipeline(
+            gen.create_diffusion_pipeline(), mesh,
+            lambda: init_params(config, 0)[1],
+        )
         decode_fn = gen.decode_latents
         if args.prompt_file is not None:
             entries, prompt_texts = _encoded_entries(args, gen)
@@ -229,7 +266,7 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
             ).astype(config.dtype)
             return CandidateEvaluator(
                 pipeline, text, neg, prompt_texts,
-                _eval_config(args), decode_fn=decode_fn,
+                _eval_config(args), decode_fn=decode_fn, mesh=mesh,
             )
     else:
         config = (
@@ -241,7 +278,10 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
         pcfg = PixArtPipelineConfig(
             model=config, num_inference_steps=args.num_inference_steps
         )
-        pipeline = PixArtPipeline(pcfg, params)
+        pipeline = _shard_pipeline(
+            PixArtPipeline(pcfg, params), mesh,
+            lambda: init_params(config, 0)[1],
+        )
 
     if args.embeddings_dir is not None:
         from ..utils.io import load_embedding_dir
@@ -264,7 +304,8 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
         prompts = [f"prompt_{i}" for i in range(p)]
 
     return CandidateEvaluator(
-        pipeline, text, neg, prompts, _eval_config(args), decode_fn=decode_fn
+        pipeline, text, neg, prompts, _eval_config(args),
+        decode_fn=decode_fn, mesh=mesh,
     )
 
 
@@ -287,6 +328,7 @@ def _build_flux_evaluator(args):
     from ..pipelines.flux_pipeline import FluxPipeline, FluxPipelineConfig
     from .evaluate import FluxCandidateEvaluator
 
+    mesh = _build_mesh(args)
     decode_fn = None
     if args.weights_root is not None:
         from ..image_generators import FluxImageGenerator
@@ -300,7 +342,10 @@ def _build_flux_evaluator(args):
         if args.transformer_weights:
             gen.transformer_weights = args.transformer_weights
         config = gen.model_config()
-        pipeline = gen.create_diffusion_pipeline()
+        pipeline = _shard_pipeline(
+            gen.create_diffusion_pipeline(), mesh,
+            lambda: init_flux_params(config, 0)[1],
+        )
         decode_fn = gen.decode_latents
         if args.prompt_file is not None:
             entries, prompt_texts = _encoded_entries(args, gen)
@@ -312,7 +357,7 @@ def _build_flux_evaluator(args):
             ).astype(config.dtype)
             return FluxCandidateEvaluator(
                 pipeline, text, pooled, prompt_texts,
-                _eval_config(args), decode_fn=decode_fn,
+                _eval_config(args), decode_fn=decode_fn, mesh=mesh,
             )
     else:
         config = (
@@ -328,7 +373,10 @@ def _build_flux_evaluator(args):
             height=height,
             width=height,
         )
-        pipeline = FluxPipeline(pcfg, params)
+        pipeline = _shard_pipeline(
+            FluxPipeline(pcfg, params), mesh,
+            lambda: init_flux_params(config, 0)[1],
+        )
     if args.embeddings_dir is not None:
         import jax.numpy as _jnp
 
@@ -359,7 +407,7 @@ def _build_flux_evaluator(args):
         prompts = [f"prompt_{i}" for i in range(p)]
     return FluxCandidateEvaluator(
         pipeline, text, pooled, prompts, _eval_config(args),
-        decode_fn=decode_fn,
+        decode_fn=decode_fn, mesh=mesh,
     )
 
 

@@ -18,16 +18,61 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-# Logical axis names used throughout; mapped to mesh axes in
-# ecad_tpu.parallel.mesh.LOGICAL_AXIS_RULES.
+# Logical axis names used throughout; mapped to mesh axes by
+# LOGICAL_AXIS_RULES (re-exported by ecad_tpu.parallel.mesh).
 EMBED = "embed"
 MLP = "mlp"
 HEADS = "heads"
 KV = "kv"
+BATCH = "batch"
+
+# logical axis → mesh axis
+LOGICAL_AXIS_RULES: tuple[tuple[str, str | None], ...] = (
+    (EMBED, None),
+    (MLP, "tp"),
+    (HEADS, "tp"),
+    (KV, None),
+    (BATCH, "dp"),
+)
 
 
 def with_part(init: Callable, names: tuple[str | None, ...]):
     return nn.with_logical_partitioning(init, names)
+
+
+def current_mesh():
+    """The Mesh installed by a `with mesh:` context, or None."""
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+
+            m = pxla.thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
+
+
+def logical_constraint(x: jax.Array, axes: tuple[Optional[str], ...]):
+    """Constrain an activation/cache array's sharding, expressed in logical
+    axes (LOGICAL_AXIS_RULES). Identity outside a Mesh context, so models
+    run unchanged single-device. Used to keep the ECAD cache pytrees —
+    which lax.cond population programs hold live for EVERY component —
+    distributed over dp (batch) and tp (the MLP-width FLUX proj_mlp cache)
+    instead of replicated; see docs/flux_hbm_accounting.md."""
+    mesh = current_mesh()
+    if mesh is None:
+        return x
+    rules = dict(LOGICAL_AXIS_RULES)
+    spec = jax.sharding.PartitionSpec(
+        *[
+            rules.get(a) if rules.get(a) in mesh.axis_names else None
+            for a in axes
+        ]
+    )
+    return jax.lax.with_sharding_constraint(x, spec)
 
 
 def sinusoidal_embedding(

@@ -32,11 +32,13 @@ import numpy as np
 from flax import linen as nn
 
 from .common import (
+    BATCH,
     EMBED,
     HEADS,
     MLP,
     TimestepEmbedding,
     layer_norm,
+    logical_constraint,
     sinusoidal_embedding,
     with_part,
 )
@@ -298,6 +300,10 @@ class FluxDualBlock(nn.Module):
             ),
             cache["full_attn"],
         )
+        # cache entries stay dp-sharded across denoise steps (they are
+        # carried through the scan; without a constraint GSPMD may gather)
+        attn_out = logical_constraint(attn_out, (BATCH, None, EMBED))
+        ctx_attn_out = logical_constraint(ctx_attn_out, (BATCH, None, EMBED))
         new_cache["full_attn"] = (attn_out, ctx_attn_out)
 
         img = img + gate_msa * attn_out
@@ -308,7 +314,10 @@ class FluxDualBlock(nn.Module):
             ff = nn.gelu(ff, approximate=True)
             return _dense(c.dim, "ff_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype)(ff)
 
-        ff = _pick(recompute_ff, compute_ff, cache["full_ff"])
+        ff = logical_constraint(
+            _pick(recompute_ff, compute_ff, cache["full_ff"]),
+            (BATCH, None, EMBED),
+        )
         new_cache["full_ff"] = ff
         img = img + gate_mlp * ff
 
@@ -324,7 +333,10 @@ class FluxDualBlock(nn.Module):
                 c.dim, "ff_context_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype
             )(ffc)
 
-        ffc = _pick(recompute_ffc, compute_ffc, cache["full_ff_context"])
+        ffc = logical_constraint(
+            _pick(recompute_ffc, compute_ffc, cache["full_ff_context"]),
+            (BATCH, None, EMBED),
+        )
         new_cache["full_ff_context"] = ffc
         txt = txt + c_gate_mlp * ffc
         return img, txt, new_cache
@@ -358,13 +370,19 @@ class FluxSingleBlock(nn.Module):
             )(normed),
             cache["single_proj_mlp"],
         )
+        # the dominant cache (4 GiB/img at 1024², docs/flux_hbm_accounting.md)
+        # lives at MLP width → shard it over tp as well as dp
+        mlp = logical_constraint(mlp, (BATCH, None, MLP))
         new_cache["single_proj_mlp"] = mlp  # cached PRE-activation
         mlp_act = nn.gelu(mlp, approximate=True)
 
-        attn = _pick(
-            recompute_attn,
-            lambda: FluxSingleAttention(c, name="attn")(normed, cos, sin),
-            cache["single_attn"],
+        attn = logical_constraint(
+            _pick(
+                recompute_attn,
+                lambda: FluxSingleAttention(c, name="attn")(normed, cos, sin),
+                cache["single_attn"],
+            ),
+            (BATCH, None, EMBED),
         )
         new_cache["single_attn"] = attn
 
@@ -374,7 +392,10 @@ class FluxSingleBlock(nn.Module):
                 c.dim, "proj_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype
             )(joint)
 
-        out = _pick(recompute_out, compute_out, cache["single_proj_out"])
+        out = logical_constraint(
+            _pick(recompute_out, compute_out, cache["single_proj_out"]),
+            (BATCH, None, EMBED),
+        )
         new_cache["single_proj_out"] = out
 
         return residual + gate * out, new_cache

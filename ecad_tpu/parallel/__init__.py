@@ -1,6 +1,7 @@
 from .distributed import barrier, host_shard, initialize, is_coordinator
 from .mesh import (
     LOGICAL_AXIS_RULES,
+    abstract_boxed_params,
     batch_sharding,
     create_mesh,
     param_shardings,
@@ -10,6 +11,7 @@ from .mesh import (
 
 __all__ = [
     "LOGICAL_AXIS_RULES",
+    "abstract_boxed_params",
     "create_mesh",
     "param_shardings",
     "shard_params",

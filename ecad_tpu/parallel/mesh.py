@@ -23,15 +23,12 @@ import numpy as np
 from flax import linen as nn
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.common import EMBED, HEADS, KV, MLP
-
-# logical axis → mesh axis
-LOGICAL_AXIS_RULES: tuple[tuple[str, str | None], ...] = (
-    (EMBED, None),
-    (MLP, "tp"),
-    (HEADS, "tp"),
-    (KV, None),
-    ("batch", "dp"),
+from ..models.common import (  # noqa: F401  (re-exported)
+    EMBED,
+    HEADS,
+    KV,
+    LOGICAL_AXIS_RULES,
+    MLP,
 )
 
 
@@ -54,13 +51,24 @@ def param_shardings(variables_or_params: Any, mesh: Mesh):
     return nn.logical_to_mesh_sharding(specs, mesh, LOGICAL_AXIS_RULES)
 
 
-def shard_params(params: Any, mesh: Mesh):
+def shard_params(params: Any, mesh: Mesh, like: Any = None):
     """Place (possibly boxed) params onto the mesh per their annotations.
-    Returns the unboxed, sharded param tree."""
-    shardings = param_shardings(params, mesh)
+    Returns the unboxed, sharded param tree.
+
+    `like` supplies the partitioning metadata when `params` itself is a
+    plain array tree (e.g. converted real checkpoints, models/weights.py):
+    pass an abstract boxed tree from `abstract_boxed_params`."""
+    shardings = param_shardings(like if like is not None else params, mesh)
     unboxed = nn.meta.unbox(params)
     unboxed_shardings = nn.meta.unbox(shardings) if _is_boxed(shardings) else shardings
     return jax.device_put(unboxed, unboxed_shardings)
+
+
+def abstract_boxed_params(init_fn, *init_args) -> Any:
+    """Metadata-only param tree (nn.Partitioned boxes around
+    ShapeDtypeStructs) via jax.eval_shape — no weights materialized. Use as
+    the `like=` argument of shard_params for checkpoint-loaded params."""
+    return jax.eval_shape(init_fn, *init_args)
 
 
 def _is_boxed(tree: Any) -> bool:

@@ -119,11 +119,16 @@ class FluxPipeline:
 
         return jax.jit(denoise, donate_argnums=(1,) if donate else ())
 
-    def denoise_stepwise(self, noise, txt, pooled):
+    def denoise_stepwise(self, noise, txt, pooled, masks=None):
+        """`masks` overrides the pipeline's schedule for this call (see
+        PixArtPipeline.denoise_stepwise — keeps shared pipelines
+        immutable under population eval)."""
+        if masks is None:
+            masks = self.masks
         x = noise
         cache: dict = {}
         for i in range(self.flow.num_steps):
-            fn = self._get_step_fn(i, self.masks[i], i == 0)
+            fn = self._get_step_fn(i, masks[i], i == 0)
             x, cache = fn(self.params, x, txt, pooled, cache)
         return x
 
@@ -180,13 +185,9 @@ class SharedFluxStepper:
         self.pipeline = pipeline
 
     def denoise(self, masks, noise, txt, pooled):
-        p = self.pipeline
-        saved = p.masks
-        try:
-            p.masks = masks
-            return p.denoise_stepwise(noise, txt, pooled)
-        finally:
-            p.masks = saved
+        # masks as argument — no shared-state mutation (see
+        # SharedModelStepper.denoise)
+        return self.pipeline.denoise_stepwise(noise, txt, pooled, masks=masks)
 
 
 class FluxPopulationDenoiser:

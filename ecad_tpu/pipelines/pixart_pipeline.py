@@ -199,11 +199,17 @@ class PixArtPipeline:
     # -- stepwise mode (cross-schedule compilation sharing) ---------------
 
     def denoise_stepwise(
-        self, noise, text, neg, text_mask=None, neg_mask=None
+        self, noise, text, neg, text_mask=None, neg_mask=None, masks=None
     ) -> jax.Array:
         """Python-level step loop dispatching memoized per-step programs.
         Compilation key = (model identity, shapes, step index, step mask) —
-        shared across all schedules in a population."""
+        shared across all schedules in a population.
+
+        `masks` overrides the pipeline's own schedule for this call (used by
+        SharedModelStepper to evaluate many candidates against one resident
+        pipeline without mutating shared state)."""
+        if masks is None:
+            masks = self.masks
         b = noise.shape[0]
         enc2 = jnp.concatenate([neg, text], axis=0)
         enc_mask2 = None
@@ -226,7 +232,7 @@ class PixArtPipeline:
         for i in range(self.dpm.num_steps):
             fn = self._get_step_fn(
                 i,
-                self.masks[i],
+                masks[i],
                 state.have_prev,
                 enc_mask2 is not None,
             )
@@ -415,10 +421,9 @@ class SharedModelStepper:
         self, masks: list[StepMask], noise, text, neg,
         text_mask=None, neg_mask=None,
     ) -> jax.Array:
-        p = self.pipeline
-        saved = p.masks
-        try:
-            p.masks = masks
-            return p.denoise_stepwise(noise, text, neg, text_mask, neg_mask)
-        finally:
-            p.masks = saved
+        # masks flow through as an argument — the shared pipeline's own
+        # state is never touched, so concurrent/multi-host eval paths can
+        # share one resident pipeline safely.
+        return self.pipeline.denoise_stepwise(
+            noise, text, neg, text_mask, neg_mask, masks=masks
+        )

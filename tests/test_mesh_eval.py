@@ -52,6 +52,36 @@ def test_dp_sharded_evaluation_matches_single_device():
     assert scores_plain["total_score"] == scores_sharded["total_score"]
 
 
+def test_train_cli_mesh_flags_build_sharded_evaluator():
+    """--dp/--tp flags produce an evaluator whose params are mesh-sharded
+    and whose candidate eval runs (CLI reach for VERDICT r1 item 6)."""
+    from ecad_tpu.genetic.train import build_parser, build_evaluator
+
+    args = build_parser().parse_args(
+        ["--name", "meshsmoke", "--tiny-model", "--dp", "4", "--tp", "2",
+         "--num-inference-steps", str(STEPS), "--num-prompts", "8",
+         "--eval-mode", "stepwise"]
+    )
+    ev = build_evaluator(args, manager=None)
+    assert ev.mesh is not None and ev.mesh.shape == {"dp": 4, "tp": 2}
+    specs = {
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(ev.pipeline.params)
+    }
+    assert any(
+        any(ax == "tp" for ax in spec) for spec in specs
+    ), specs  # HEADS/MLP kernels actually partitioned
+
+    rng = np.random.default_rng(0)
+    c = ev.pipeline.config.model
+    sched = PixArtCacheSchedule.from_numpy(
+        rng.random(STEPS * c.num_blocks * 3) < 0.5, STEPS, c.num_blocks
+    )
+    scores, images = ev.evaluate_candidate(sched)
+    assert np.isfinite(scores["total_score"])
+    assert images.shape[0] == 8
+
+
 def test_distributed_single_process_noop_and_host_shard(monkeypatch):
     """initialize() is a no-op without pod env vars; host_shard strides by
     process index (single process → identity)."""

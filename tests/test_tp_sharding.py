@@ -82,6 +82,107 @@ def test_tp_sharded_evaluation_matches_single_device(dp, tp):
     )
 
 
+@pytest.mark.parametrize("mode", ["dynamic", "stepwise"])
+def test_flux_mesh_eval_matches_single_device(mode):
+    """FluxCandidateEvaluator sharded over dp=4 x tp=2 must reproduce the
+    single-device population eval (VERDICT r1 item 6)."""
+    from ecad_tpu.genetic.evaluate import FluxCandidateEvaluator
+    from ecad_tpu.pipelines.flux_pipeline import (
+        FluxPipeline,
+        FluxPipelineConfig,
+    )
+
+    config = FluxConfig.tiny(dtype=jnp.float32)
+    _, params = init_flux_params(config, 0)
+    pcfg = FluxPipelineConfig(
+        model=config, num_inference_steps=STEPS, height=32, width=32
+    )
+
+    p = 8
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    text = jax.random.normal(k1, (p, config.text_len, config.joint_dim))
+    pooled = jax.random.normal(k2, (p, config.pooled_dim))
+    prompts = [f"p{i}" for i in range(p)]
+
+    rng = np.random.default_rng(0)
+    from ecad_tpu.schedules import FluxCacheSchedule
+
+    n_slots = config.num_blocks + config.num_single_blocks
+    sched = FluxCacheSchedule.from_numpy(
+        rng.random(STEPS * n_slots * 3) < 0.5, STEPS,
+        num_blocks=config.num_blocks,
+        num_single_blocks=config.num_single_blocks,
+    )
+
+    cfg = EvalConfig(mode=mode)
+    plain = FluxCandidateEvaluator(
+        FluxPipeline(pcfg, params), text, pooled, prompts, cfg
+    )
+    scores_plain, images_plain = plain.evaluate_candidate(sched)
+
+    mesh = create_mesh(dp=4, tp=2)
+    sharded_params = shard_params(params, mesh)
+    with mesh:
+        sharded = FluxCandidateEvaluator(
+            FluxPipeline(pcfg, sharded_params), text, pooled, prompts,
+            cfg, mesh=mesh,
+        )
+        scores_sharded, images_sharded = sharded.evaluate_candidate(sched)
+
+    np.testing.assert_allclose(
+        images_plain.astype(np.int32), images_sharded.astype(np.int32),
+        atol=1,
+    )
+    np.testing.assert_allclose(
+        scores_plain["total_score"], scores_sharded["total_score"], rtol=1e-3
+    )
+
+
+def test_flux_dynamic_cache_tp_sharded():
+    """In lax.cond (dynamic) mode every component cache stays alive; the
+    MLP-width single_proj_mlp cache — the dominant term in
+    docs/flux_hbm_accounting.md — must shard over dp AND tp, the rest over
+    dp."""
+    from ecad_tpu.models.flux import FluxSingleBlock, rope_freqs
+
+    config = FluxConfig.tiny(dtype=jnp.float32)
+    block = FluxSingleBlock(config)
+    b, t = 4, 8
+    x = jnp.ones((b, t, config.dim))
+    temb = jnp.ones((b, config.dim))
+    cos_np, sin_np = rope_freqs(
+        np.zeros((t, 3)), config.axes_dims, config.rope_theta
+    )
+    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    cache = {
+        "single_attn": jnp.zeros((b, t, config.dim)),
+        "single_proj_mlp": jnp.zeros((b, t, config.dim * config.mlp_ratio)),
+        "single_proj_out": jnp.zeros((b, t, config.dim)),
+    }
+    params = block.init(
+        jax.random.PRNGKey(0), x, temb, cos, sin, cache, (True,) * 3
+    )["params"]
+
+    mesh = create_mesh(dp=4, tp=2)
+    traced_mask = tuple(jnp.asarray(True) for _ in range(3))  # lax.cond path
+
+    def fwd(params, x, cache):
+        _, new_cache = block.apply(
+            {"params": params}, x, temb, cos, sin, cache, traced_mask
+        )
+        return new_cache
+
+    with mesh:
+        new_cache = jax.jit(fwd)(params, x, cache)
+        new_cache = jax.block_until_ready(new_cache)
+
+    from jax.sharding import PartitionSpec as P
+
+    assert new_cache["single_proj_mlp"].sharding.spec == P("dp", None, "tp")
+    assert new_cache["single_attn"].sharding.spec[0] == "dp"
+    assert new_cache["single_proj_out"].sharding.spec[0] == "dp"
+
+
 def test_flux_full_width_block_tp_sharded():
     """One dual + one single FLUX block at the real FLUX.1-dev width
     (dim 3072, 24 heads x 128, mlp 12288) runs tp=2-sharded and matches the
