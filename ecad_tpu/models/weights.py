@@ -49,6 +49,37 @@ def _lin(state, key, dtype=np.float32):
     return out
 
 
+class _TrackedState(dict):
+    """State dict that records which keys a converter consumed, so a
+    mapping bug at full scale (e.g. a missed embedder) fails loudly
+    instead of silently dropping tensors."""
+
+    def __init__(self, state):
+        super().__init__(state)
+        self.used: set[str] = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+
+_IGNORABLE = ("num_batches_tracked", "position_ids")
+
+
+def _audit_consumed(state: "_TrackedState", what: str) -> None:
+    left = [
+        k
+        for k in state
+        if k not in state.used and not any(s in k for s in _IGNORABLE)
+    ]
+    if left:
+        raise ValueError(
+            f"{what} conversion left {len(left)} checkpoint tensors "
+            f"unconsumed (mapping bug or unexpected architecture): "
+            f"{left[:8]}{'…' if len(left) > 8 else ''}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # PixArt (diffusers PixArtTransformer2DModel)
 # ---------------------------------------------------------------------------
@@ -62,6 +93,7 @@ def convert_pixart_state_dict(state: dict, config) -> dict:
     transformer_blocks.N.{scale_shift_table, attn1, attn2, ff, …},
     scale_shift_table, proj_out.
     """
+    state = _TrackedState(state)
     p: dict[str, Any] = {}
     # patchify conv (out, in, kh, kw) → dense kernel (kh*kw*in → out)?
     # Our patch tokens are ordered (p_h, p_w, channel); torch conv weight is
@@ -120,6 +152,7 @@ def convert_pixart_state_dict(state: dict, config) -> dict:
         np.float32
     )
     p["proj_out"] = _lin(state, "proj_out")
+    _audit_consumed(state, "PixArt transformer")
     return p
 
 
@@ -134,6 +167,7 @@ def load_pixart_params(weights_root: Path | str, repo: str, config) -> dict:
 
 
 def convert_flux_state_dict(state: dict, config) -> dict:
+    state = _TrackedState(state)
     p: dict[str, Any] = {
         "x_embedder": _lin(state, "x_embedder"),
         "context_embedder": _lin(state, "context_embedder"),
@@ -201,6 +235,7 @@ def convert_flux_state_dict(state: dict, config) -> dict:
             "proj_mlp": _lin(state, f"{b}.proj_mlp"),
             "proj_out": _lin(state, f"{b}.proj_out"),
         }
+    _audit_consumed(state, "FLUX transformer")
     return p
 
 
