@@ -25,6 +25,8 @@ def time_for_schedule(gen_type, schedule_path: Path, args) -> dict:
         random_weights=args.random_weights or args.weights_root is None,
         batch_size=args.batch_size,
     )
+    if getattr(args, "random_vae", False):
+        gen.use_random_vae = True
     latency = gen.time_image_generation(
         args.input_embeddings,
         warmup_steps=args.warmup_steps,
@@ -52,6 +54,11 @@ def main(argv=None) -> None:
     p.add_argument("--batch-size", type=int, default=100)
     p.add_argument("--weights-root", type=Path, default=None)
     p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--random-vae", action="store_true",
+                   help="decode through a random-weight VAE so the timed "
+                        "region carries the real decode cost without "
+                        "checkpoints (the reference's timed __call__ "
+                        "includes the VAE)")
     p.add_argument("--profile-dir", type=Path, default=None,
                    help="write a jax.profiler trace of the timed runs "
                         "(viewable in TensorBoard/Perfetto)")

@@ -77,6 +77,10 @@ class ImageGenerator(ABC):
         self._pipeline = None
         self._params = None  # transformer params, loaded once per generator
         self._vae = None  # VAE decoder pipeline, loaded once per generator
+        # build a random-weight VAE so the latency protocol carries the
+        # real decode cost even without checkpoints (compute_latency
+        # --random-vae)
+        self.use_random_vae = False
 
     def set_schedule(self, schedule_path) -> None:
         """Point a resident generator at a different schedule file, honoring
@@ -263,13 +267,30 @@ class ImageGenerator(ABC):
 
     # -- timing -------------------------------------------------------------
 
+    def decode_latents_device(self, latents):
+        """Latents → uint8 images, kept on device. Default: the weight-free
+        latent visualization (latents_to_uint8); subclasses route through
+        the VAE when one is available (real or --random-vae)."""
+        import jax.numpy as jnp
+
+        x = jnp.clip(
+            latents[..., :3].astype(jnp.float32) / 4.0 + 0.5, 0, 1
+        )
+        return (x * 255).astype(jnp.uint8)
+
     def generate_images_timed(
         self, embeddings: list[dict[str, Any]], seed: int = 0
     ) -> float:
-        """Wall-clock ms for one batch (device-synchronized)."""
+        """Wall-clock ms for one batch (device-synchronized).
+
+        Matches the reference's timed region (the full pipeline __call__,
+        image_generator.py:442-487): denoise AND decode-to-pixels. Sync is
+        a 1-pixel slice pull so host-transfer artifacts of this
+        environment's device tunnel don't pollute the measurement."""
         t0 = time.perf_counter()
         latents = self._generate_latents(embeddings, seed)
-        np.asarray(latents[..., :1])  # force full execution + tiny transfer
+        images = self.decode_latents_device(latents)
+        np.asarray(images[:, :1, :1, :1])  # force full execution
         return (time.perf_counter() - t0) * 1e3
 
     def time_image_generation(

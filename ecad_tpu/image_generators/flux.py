@@ -129,16 +129,32 @@ class FluxImageGenerator(ImageGenerator):
             txt, pooled, seed=seed, mode=self.execution_mode
         )
 
-    def decode_latents(self, latents) -> np.ndarray:
+    def _ensure_vae(self):
+        if self._vae is not None:
+            return self._vae
         if not self.random_weights and self.weights_root is not None:
-            if self._vae is None:
-                from ..models.vae import VAEDecoderPipeline
+            from ..models.vae import VAEDecoderPipeline
 
-                self._vae = VAEDecoderPipeline.from_weights(
-                    self.weights_root, self.transformer_weights,
-                    latent_channels=16,
-                )
-            return self._vae.decode(latents)
+            self._vae = VAEDecoderPipeline.from_weights(
+                self.weights_root, self.transformer_weights,
+                latent_channels=16,
+            )
+        elif self.use_random_vae:
+            from ..models.vae import random_decoder_pipeline
+
+            self._vae = random_decoder_pipeline(latent_channels=16)
+        return self._vae
+
+    def decode_latents_device(self, latents):
+        vae = self._ensure_vae()
+        if vae is not None:
+            return vae.decode_device(latents)
+        return super().decode_latents_device(latents)
+
+    def decode_latents(self, latents) -> np.ndarray:
+        vae = self._ensure_vae()
+        if vae is not None and not self.use_random_vae:
+            return vae.decode(latents)
         from ..genetic.evaluate import latents_to_uint8
 
         return latents_to_uint8(latents)

@@ -136,16 +136,32 @@ class PixArtImageGenerator(ImageGenerator):
             mode=self.execution_mode,
         )
 
-    def decode_latents(self, latents) -> np.ndarray:
-        if not self.random_weights and self.weights_root is not None:
-            if self._vae is None:
-                from ..models.vae import VAEDecoderPipeline
+    def _ensure_vae(self):
+        if self._vae is not None:
+            return self._vae
+        from ..models.vae import VAEDecoderPipeline
 
-                self._vae = VAEDecoderPipeline.from_weights(
-                    self.weights_root,
-                    self.pipeline_weights or self.transformer_weights,
-                )
-            return self._vae.decode(latents)
+        if not self.random_weights and self.weights_root is not None:
+            self._vae = VAEDecoderPipeline.from_weights(
+                self.weights_root,
+                self.pipeline_weights or self.transformer_weights,
+            )
+        elif self.use_random_vae:
+            from ..models.vae import random_decoder_pipeline
+
+            self._vae = random_decoder_pipeline(latent_channels=4)
+        return self._vae
+
+    def decode_latents_device(self, latents):
+        vae = self._ensure_vae()
+        if vae is not None:
+            return vae.decode_device(latents)
+        return super().decode_latents_device(latents)
+
+    def decode_latents(self, latents) -> np.ndarray:
+        vae = self._ensure_vae()
+        if vae is not None and not self.use_random_vae:
+            return vae.decode(latents)
         from ..genetic.evaluate import latents_to_uint8
 
         return latents_to_uint8(latents)

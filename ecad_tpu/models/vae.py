@@ -231,8 +231,29 @@ class VAEDecoderPipeline:
         state = load_state_dict(Path(weights_root) / repo / "vae")
         return cls(config, convert_vae_decoder_state_dict(state, config))
 
+    def decode_device(self, latents) -> jax.Array:
+        """NHWC latents → (B, H, W, 3) uint8 images, left on device (used
+        by the latency protocol to time decode without a host transfer)."""
+        img = self._decode(self.params, jnp.asarray(latents, jnp.float32))
+        img = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0, 1)
+        return jnp.round(img * 255).astype(jnp.uint8)
+
     def decode(self, latents) -> np.ndarray:
         """NHWC latents → (B, H, W, 3) uint8 images."""
-        img = self._decode(self.params, jnp.asarray(latents, jnp.float32))
-        img = np.asarray(img, dtype=np.float32)
-        return (np.clip(img / 2 + 0.5, 0, 1) * 255).round().astype(np.uint8)
+        return np.asarray(self.decode_device(latents))
+
+
+def random_decoder_pipeline(latent_channels: int = 4) -> VAEDecoderPipeline:
+    """Architecture-faithful decoder with random weights (bf16): identical
+    compute cost to the real VAE, no downloads — used by the latency
+    protocol (compute_latency --random-vae) and bench.py."""
+    import dataclasses
+
+    config = VAEConfig.flux() if latent_channels == 16 else VAEConfig.sd()
+    config = dataclasses.replace(config, dtype=jnp.bfloat16)
+    model = VAEDecoder(config)
+    z0 = jnp.zeros((1, 8, 8, latent_channels), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, z0))(jax.random.PRNGKey(7))[
+        "params"
+    ]
+    return VAEDecoderPipeline(config, params)

@@ -137,6 +137,25 @@ def test_full_benchmark_flow(workspace):
     lat = data["metrics"]["latency"]
     assert lat["avg"] > 0 and len(lat["latencies"]) == 2
 
+    # 6b. --random-vae: the timed region includes a real (random-weight)
+    # VAE decode, matching the reference's timed __call__
+    compute_latency.main(
+        [
+            "TinyPixArtImageGenerator",
+            "--input-embeddings", str(emb_dir),
+            "--schedule", str(sched_dir / "default.json"),
+            "--warmup-steps", "1",
+            "--num-samples", "1",
+            "--batch-size", "2",
+            "--random-weights",
+            "--random-vae",
+        ]
+    )
+    lat_vae = json.loads(
+        (sched_dir / "default.json").read_text()
+    )["metrics"]["latency"]
+    assert lat_vae["avg"] > 0
+
 
 def test_embeddings_modes(workspace, tmp_path):
     coco = tmp_path / "coco.txt"
