@@ -1,14 +1,25 @@
-"""Pallas fused attention kernel for TPU.
+"""Pallas fused attention kernels for TPU.
 
-The DiT workloads here have short sequences (PixArt 256 latent + 120 text
-tokens; FLUX 768 joint tokens at 256², 4608 at 1024²), so entire (T, d)
-tiles fit in VMEM: one fused kernel per (batch, head) computes
-scores → fp32 softmax → value contraction without materializing the score
-matrix in HBM. For these sizes a streaming flash decomposition is
-unnecessary; the win over unfused XLA is keeping the (Tq, Tk) intermediate
-on-chip. Head dims that are not lane-aligned (PixArt's 72) are zero-padded
-to 128 in the wrapper — padding K columns adds zero scores and padding V
-columns adds zero outputs, so results are exact.
+Two regimes, one entry point (`fused_attention`):
+
+* **Single-tile** (short sequences — PixArt 256: 1024 latent + 120 text
+  tokens; FLUX 256: 768 joint tokens): the full (Tq, Tk) score matrix for
+  one (batch, head) fits in VMEM, so one kernel instance computes
+  scores → fp32 softmax → value contraction with no HBM intermediate and
+  no online-softmax bookkeeping.
+* **Flash** (long sequences — FLUX 1024: 4096 packed latent + 512 text =
+  4608 joint tokens, where a fp32 score tile would be 85 MB ≫ ~16 MB
+  VMEM): KV-blocked streaming with the standard online-softmax recurrence
+  (running max `m`, normalizer `l`, unnormalized accumulator carried in
+  VMEM scratch across the innermost grid dimension). Fills the role of
+  torch SDPA's flash path that the reference's FLUX blocks delegate to
+  (ecad/transformer_blocks/cached_flux_transformer_block.py via diffusers
+  FluxAttnProcessor → F.scaled_dot_product_attention).
+
+Head dims that are not lane-aligned (PixArt's 72) are zero-padded to 128
+in the wrapper — padding K columns adds zero scores and padding V columns
+adds zero outputs, so results are exact. Padded K *rows* are masked with
+a -1e9 additive bias so they receive no softmax mass.
 
 Use `fused_attention(q, k, v, bias=None)` with (B, T, H, D) tensors — the
 same contract as jax.nn.dot_product_attention (TPU or interpret mode; the
@@ -63,6 +74,158 @@ def _attn_kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
     o_ref[0] = (out / denom).astype(o_ref.dtype)
 
 
+# Above this many fp32 score-tile bytes per (batch, head) the single-tile
+# kernel would not fit VMEM (~16 MB/core) alongside q/k/v/acc; stream
+# instead. 8 MB keeps headroom for the operand tiles and double buffering.
+_SINGLE_TILE_SCORE_BYTES = 8 * 1024 * 1024
+
+# Tuned on v5e at the FLUX-1024 shape (B2 H24 T4608 D128): the sweep over
+# (bq, bk) ∈ {256..1536}² put (512, 1536) fastest at 6.0 ms vs 32.3 ms for
+# XLA's dot_product_attention — fewer, larger kv steps amortize the
+# per-grid-step online-softmax bookkeeping.
+_FLASH_BLOCK_Q = 512
+_FLASH_BLOCK_K = 1536
+_NEG_INF = -1e9
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float
+):
+    """One (batch·head, q-block, kv-block) grid step of online-softmax
+    attention. Scratch (m, l, acc) persists across the innermost (kv)
+    grid dimension; the output block is written on the last kv step."""
+    from jax.experimental import pallas as pl
+
+    kv_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # operands stay in the input dtype (bf16 on the hot path) so the MXU
+    # runs at full rate; accumulation is fp32 via preferred_element_type
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bk, d)
+    v = v_ref[0]  # (bk, d)
+    s = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )  # (bq, bk) fp32
+    s = s + b_ref[0].astype(jnp.float32)  # (1, bk) broadcasts over rows
+
+    m_prev = m_scr[:, :1]  # (bq, 1); lanes replicate the row max
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)  # (bq, 1)
+    p = jnp.exp(s - m_next)  # (bq, bk)
+    l_next = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+
+    @pl.when(kv_i == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array],
+    interpret: bool,
+) -> jax.Array:
+    """KV-blocked streaming path for sequences whose score matrix exceeds
+    VMEM. Supports bias=None or key-padding bias (B, 1, 1, Tk) — the only
+    shapes the DiT towers emit; dense (B, H, Tq, Tk) biases raise (the
+    single-tile kernel or XLA handles those sizes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale = 1.0 / float(np.sqrt(d))
+
+    d_pad = _round_up(d, 128)
+    bq = min(_FLASH_BLOCK_Q, _round_up(tq, 8))
+    bk = min(_FLASH_BLOCK_K, _round_up(tk, 128))
+    tq_pad = _round_up(tq, bq)
+    tk_pad = _round_up(tk, bk)
+
+    def pad(x, t_pad):
+        t = x.shape[1]
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0), (0, d_pad - d)))
+
+    qp = pad(q, tq_pad).transpose(0, 2, 1, 3).reshape(b * h, tq_pad, d_pad)
+    kp = pad(k, tk_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
+    vp = pad(v, tk_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
+
+    pad_bias = jnp.where(jnp.arange(tk_pad) < tk, 0.0, _NEG_INF).astype(
+        jnp.float32
+    )[None, None, :]
+    if bias is None:
+        bias_arr = pad_bias  # (1, 1, tk_pad)
+        bias_index = lambda i, qi, ki: (0, 0, ki)  # noqa: E731
+    elif bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
+        bias_b = jnp.pad(
+            bias.astype(jnp.float32)[:, 0], ((0, 0), (0, 0), (0, tk_pad - tk))
+        )  # (B, 1, tk_pad)
+        bias_arr = bias_b + pad_bias
+        bias_index = lambda i, qi, ki: (i // h, 0, ki)  # noqa: E731
+    else:
+        raise NotImplementedError(
+            "flash path supports only key-padding biases (B, 1, 1, Tk); "
+            f"got shape {bias.shape}"
+        )
+
+    grid = (b * h, tq_pad // bq, tk_pad // bk)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, bq, d_pad),
+                lambda i, qi, ki: (i, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, d_pad),
+                lambda i, qi, ki: (i, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, d_pad),
+                lambda i, qi, ki: (i, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, bk), bias_index, memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), q.dtype),
+        out_specs=pl.BlockSpec(
+            (1, bq, d_pad),
+            lambda i, qi, ki: (i, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),  # running max (lane-replicated)
+            pltpu.VMEM((bq, 128), jnp.float32),  # running normalizer
+            pltpu.VMEM((bq, d_pad), jnp.float32),  # unnormalized accumulator
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, bias_arr)
+    out = out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
+    return out.transpose(0, 2, 1, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_attention(
     q: jax.Array,
@@ -86,6 +249,13 @@ def fused_attention(
     d_pad = _round_up(d, 128)
     tq_pad = _round_up(tq, 8)
     tk_pad = _round_up(tk, 128)
+
+    score_bytes = tq_pad * tk_pad * 4
+    flash_ok_bias = bias is None or (
+        bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
+    )
+    if score_bytes > _SINGLE_TILE_SCORE_BYTES and flash_ok_bias:
+        return _flash_attention(q, k, v, bias, interpret)
 
     def pad(x, t_pad):
         t = x.shape[1]

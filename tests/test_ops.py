@@ -53,3 +53,86 @@ def test_modulated_layer_norm_matches_reference():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+class TestFlashAttention:
+    """KV-blocked streaming path for long sequences (FLUX-1024's 4608
+    joint tokens). Interpreter mode; tiny block sizes force multiple kv
+    steps so the online-softmax recurrence is actually exercised."""
+
+    def _run(self, tq, tk, d, bias=None, b=2, h=2):
+        from ecad_tpu.ops import attention as A
+
+        keys = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(keys[0], (b, tq, h, d))
+        k = jax.random.normal(keys[1], (b, tk, h, d))
+        v = jax.random.normal(keys[2], (b, tk, h, d))
+        want = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        got = A._flash_attention(q, k, v, bias, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    def test_multiblock_kv(self, monkeypatch):
+        from ecad_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_FLASH_BLOCK_Q", 16)
+        monkeypatch.setattr(A, "_FLASH_BLOCK_K", 128)
+        self._run(tq=48, tk=384, d=64)
+
+    def test_unaligned_tk_padding_masked(self, monkeypatch):
+        from ecad_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_FLASH_BLOCK_Q", 16)
+        monkeypatch.setattr(A, "_FLASH_BLOCK_K", 128)
+        # tk=300 pads to 384 → the last kv block is half padding; exact
+        # results prove the -1e9 pad bias removes its softmax mass
+        self._run(tq=24, tk=300, d=32)
+
+    def test_key_padding_bias(self, monkeypatch):
+        from ecad_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_FLASH_BLOCK_Q", 16)
+        monkeypatch.setattr(A, "_FLASH_BLOCK_K", 128)
+        b, tk = 2, 256
+        bias = jnp.where(
+            jnp.arange(tk)[None, None, None, :] < 120, 0.0, -1e9
+        ) * jnp.ones((b, 1, 1, tk))
+        self._run(tq=32, tk=tk, d=64, bias=bias, b=b)
+
+    def test_dispatch_thresholds(self, monkeypatch):
+        """fused_attention routes big score tiles to the flash path and
+        dense biases away from it."""
+        from ecad_tpu.ops import attention as A
+
+        calls = {}
+        real = A._flash_attention
+
+        def spy(q, k, v, bias, interpret):
+            calls["flash"] = True
+            return real(q, k, v, bias, interpret)
+
+        monkeypatch.setattr(A, "_flash_attention", spy)
+        monkeypatch.setattr(A, "_SINGLE_TILE_SCORE_BYTES", 1024)
+        monkeypatch.setattr(A, "_FLASH_BLOCK_Q", 16)
+        monkeypatch.setattr(A, "_FLASH_BLOCK_K", 128)
+        keys = jax.random.split(jax.random.PRNGKey(4), 3)
+        q = jax.random.normal(keys[0], (1, 64, 2, 32))
+        k = jax.random.normal(keys[1], (1, 256, 2, 32))
+        v = jax.random.normal(keys[2], (1, 256, 2, 32))
+        want = jax.nn.dot_product_attention(q, k, v)
+        got = A.fused_attention.__wrapped__(q, k, v, None, interpret=True)
+        assert calls.get("flash")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+        # dense bias: must NOT take the flash path
+        calls.clear()
+        bias = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 64, 256))
+        want = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        got = A.fused_attention.__wrapped__(q, k, v, bias, interpret=True)
+        assert "flash" not in calls
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
