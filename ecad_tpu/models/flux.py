@@ -37,6 +37,7 @@ from .common import (
     HEADS,
     MLP,
     TimestepEmbedding,
+    dot_product_attention,
     layer_norm,
     logical_constraint,
     sinusoidal_embedding,
@@ -233,7 +234,7 @@ class FluxJointAttention(nn.Module):
         v = jnp.concatenate([vc, v], axis=1)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        out = jax.nn.dot_product_attention(q, k, v)
+        out = dot_product_attention(q, k, v)  # backend-switchable (common)
         out = out.reshape(b, tt + ti, inner)
         txt_out, img_out = out[:, :tt], out[:, tt:]
         img_out = _dense(c.dim, "to_out", in_axis=HEADS, out_axis=EMBED, dtype=c.dtype)(img_out)
@@ -262,7 +263,7 @@ class FluxSingleAttention(nn.Module):
         q, k = QKNorm(c.head_dim, c.dtype, name="norm_qk")(q, k)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        out = jax.nn.dot_product_attention(q, k, v)
+        out = dot_product_attention(q, k, v)  # backend-switchable (common)
         return out.reshape(b, s, inner)
 
 

@@ -33,6 +33,7 @@ SCHEDULE_DIRS = [
     "alpha_cache_schedules/gen_default",
     "alpha_cache_schedules/gen_default_1024x1024",
     "alpha_cache_schedules/gen_tgate",
+    "alpha_cache_schedules/gen_tgate_1024",
     "sigma_cache_schedules/gen_default",
     "flux_cache_schedules/gen_default",
     "flux_cache_schedules/gen_default_varied_guidance_256",
