@@ -193,3 +193,28 @@ def test_flux_population_denoiser_matches(tiny):
             err_msg=f"trial {trial}",
         )
     assert len(den._fn_cache) == 1
+
+
+def test_flux_attention_routes_through_backend_switch(tiny, monkeypatch):
+    """Regression: FLUX blocks must call models.common.dot_product_attention
+    (the set_attention_backend dispatcher), not jax.nn directly — otherwise
+    the pallas flash kernel never engages for the 4608-token 1024² path."""
+    from ecad_tpu.models import common as C
+    from ecad_tpu.models import flux as F
+
+    config, model, params = tiny
+    calls = []
+    real = C.dot_product_attention
+
+    def spy(q, k, v, bias=None):
+        calls.append(q.shape)
+        return real(q, k, v, bias)
+
+    monkeypatch.setattr(F, "dot_product_attention", spy)
+    lat, txt, pooled, t, g = _inputs(config)
+    model.apply(
+        {"params": params}, lat, txt, pooled, t, g, {},
+        full_flux_mask(config), (4, 4),
+    )
+    # one joint attention per dual block + one per single block
+    assert len(calls) == config.num_blocks + config.num_single_blocks
