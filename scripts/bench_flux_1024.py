@@ -1,0 +1,155 @@
+"""FLUX 1024×1024 schedule-transfer benchmark on one chip.
+
+Mirrors BASELINE.md's FLUX-1024 rows (reference RTX A6000, batch 3):
+uncached 20-step 18297.60 ms/img; ECAD 256→1024 transfer schedules
+fast_256_to_1024 6959.63 (2.63×) and slow_256_to_1024 10587.71 (1.73×) —
+the paper's headline resolution-transfer result (optimize at 256², apply
+at 1024²; reference schedules/schedules_in_paper/flux_256_to_1024/).
+
+Full FLUX.1-dev is ~12B params (~24 GB bf16) and does not fit one v5e
+chip (16 GB HBM), so as in scripts/bench_flux.py this benches an
+architecture-faithful width-reduced config: all 19 dual + 38 single
+blocks, the same 3420-gene schedules, head_dim 128, 1024² packed latents
+(4096 image + 512 text = 4608 joint tokens) — only `dim` is halved
+(3072 → 1536). The cached/uncached ratio is the quantity of interest;
+absolute ms/img are not comparable to the reference's full-width numbers.
+
+The 4608-token joint attention runs through the Pallas flash kernel
+(ops/attention.py), which measures 5.4× faster than XLA's
+dot_product_attention at this shape on v5e.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import bench  # repo-root bench.py: sync + cache-dir setup
+
+REF_UNCACHED = 18297.60
+LADDER = {
+    "fast_256_to_1024": REF_UNCACHED / 6959.63,
+    "slow_256_to_1024": REF_UNCACHED / 10587.71,
+}
+SCHED_DIR = (  # vendored paper artifacts (schedules/README.md)
+    pathlib.Path(__file__).resolve().parent.parent
+    / "schedules/schedules_in_paper/flux_256_to_1024"
+)
+BATCH = 1  # batch 2 exceeds one chip's HBM at 4608-token activations
+WARMUP = 2
+SAMPLES = 3
+
+
+def time_flux(pipe, params, noise, txt, pooled) -> float:
+    fn = pipe.build_denoise_fn(donate=False)
+    for _ in range(WARMUP):
+        bench.sync(fn(params, noise, txt, pooled))
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = fn(params, noise, txt, pooled)
+        bench.sync(out)
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(2))
+    tk = min(run(1 + SAMPLES) for _ in range(2))
+    return (tk - t1) / SAMPLES
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ecad_tpu.models.common import set_attention_backend
+    from ecad_tpu.models.flux import FluxConfig, init_flux_params
+    from ecad_tpu.pipelines.flux_pipeline import (
+        FluxPipeline,
+        FluxPipelineConfig,
+    )
+    from ecad_tpu.schedules import FluxCacheSchedule
+
+    set_attention_backend("pallas")  # flash path for the 4608-token attn
+
+    config = FluxConfig(dim=1536, num_heads=12)
+    # Serve in bf16 (FLUX.1-dev ships bf16 weights). Never materialize the
+    # fp32 masters on device: flax init would allocate 12 GB fp32 and the
+    # tunneled backend was observed not to release them in time, OOMing
+    # the 16 GB chip. Instead take shapes from eval_shape and fill bf16
+    # leaves directly — timing is value-independent.
+    import functools
+
+    shapes = jax.eval_shape(lambda: init_flux_params(config, 0)[1])
+    leaves, treedef = jax.tree.flatten(shapes)
+    keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
+
+    @functools.lru_cache(maxsize=None)  # one program per distinct shape
+    def filler(shape):
+        return jax.jit(
+            lambda k: jax.random.normal(k, shape, jnp.bfloat16) * 0.02
+        )
+
+    filled = [
+        filler(tuple(l.shape))(k) for k, l in zip(keys, leaves)
+    ]
+    params = jax.tree.unflatten(treedef, filled)
+    pcfg = FluxPipelineConfig(model=config, height=1024, width=1024)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    noise = jax.random.normal(
+        k1, (BATCH, pcfg.image_seq_len, config.in_channels)
+    ).astype(config.dtype)
+    txt = jax.random.normal(
+        k2, (BATCH, config.text_len, config.joint_dim)
+    ).astype(config.dtype)
+    pooled = jax.random.normal(k3, (BATCH, config.pooled_dim)).astype(
+        config.dtype
+    )
+
+    default = FluxCacheSchedule.from_json(
+        pathlib.Path(__file__).resolve().parent.parent
+        / "schedules/flux_cache_schedules/gen_default"
+        / "default_1024x1024_gs_5.0_steps_20.json"
+    )
+    uncached = FluxPipeline(pcfg, params, default)
+    t_uncached = time_flux(uncached, params, noise, txt, pooled)
+
+    for name, ref_speedup in LADDER.items():
+        sched = FluxCacheSchedule.from_json(SCHED_DIR / f"{name}.json")
+        pipe = FluxPipeline(pcfg, params, sched)
+        t = time_flux(pipe, params, noise, txt, pooled)
+        speedup = t_uncached / t
+        print(
+            json.dumps(
+                {
+                    "metric": f"flux_1024_{name}_wallclock_speedup",
+                    "value": round(speedup, 4),
+                    "unit": "x_vs_uncached",
+                    "vs_baseline": round(speedup / ref_speedup, 4),
+                    "detail": {
+                        "batch": BATCH,
+                        "dim": config.dim,
+                        "joint_tokens": pcfg.image_seq_len
+                        + config.text_len,
+                        "note": "width-reduced (full dev exceeds 1-chip"
+                        " HBM); pallas flash attention",
+                        "uncached_ms_per_image": round(
+                            t_uncached / BATCH * 1e3, 3
+                        ),
+                        "cached_ms_per_image": round(t / BATCH * 1e3, 3),
+                        "device": str(jax.devices()[0]),
+                    },
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,15 @@
 """Measure the full paper schedule ladder on one chip (not the driver bench).
 
-Extends bench.py's protocol to all three paper schedules for PixArt-α 256
-(reference RTX A6000 wall-clock speedups: ours_fast 1.97×, ours_faster
-2.40×, ours_fastest 2.58× — SURVEY.md §6). Prints one JSON line per
-schedule. Run manually; `bench.py` remains the driver's single-metric
-entry point.
+Extends bench.py's protocol — full pipeline: 20-step denoise + VAE decode
+to pixels, the reference's compute_latency.py methodology — to the three
+paper schedules for PixArt-α 256 (reference RTX A6000 wall-clock speedups:
+ours_fast 1.97×, ours_faster 2.40×, ours_fastest 2.58× — SURVEY.md §6),
+the TGATE baseline family's best 256 entry (tgate_m_010_sp_005: 108.52 ms
+→ 1.527× on the reference), and the pass-through overhead probe
+(reference ecad/transformer_2d_models/pass_through_transformer_2d.py —
+pipeline cost with the transformer removed). Prints one JSON line per
+entry. Run manually; `bench.py` remains the driver's single-metric entry
+point.
 """
 
 from __future__ import annotations
@@ -15,29 +20,61 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-import bench  # repo-root bench.py: sync/time_denoise/BATCH etc.
+import bench  # repo-root bench.py: sync/time_pipeline/BATCH etc.
 
+REF_UNCACHED = 165.74
 LADDER = {
-    "ours_fast": 165.74 / 84.09,
-    "ours_faster": 165.74 / 69.17,
-    "ours_fastest": 165.74 / 64.24,
+    "ours_fast": REF_UNCACHED / 84.09,
+    "ours_faster": REF_UNCACHED / 69.17,
+    "ours_fastest": REF_UNCACHED / 64.24,
 }
-SCHED_DIR = (  # vendored paper artifacts (schedules/README.md)
-    pathlib.Path(__file__).resolve().parent.parent
-    / "schedules/schedules_in_paper/pixart_alpha_256"
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+SCHED_DIR = ROOT / "schedules/schedules_in_paper/pixart_alpha_256"
+TGATE = (  # best-latency 256 entry of the vendored gen_tgate family
+    ROOT
+    / "schedules/alpha_cache_schedules/gen_tgate"
+    / "tgate_m_010_sp_005_fi_001_warmup_002.json"
 )
+TGATE_REF_SPEEDUP = REF_UNCACHED / 108.518484375
+
+
+def emit(metric, t, t_uncached, ref_speedup=None, **extra) -> None:
+    speedup = t_uncached / t
+    row = {
+        "metric": metric,
+        "value": round(speedup, 4),
+        "unit": "x_vs_uncached",
+        "detail": {
+            "batch": bench.BATCH,
+            "protocol": "denoise + VAE decode (reference methodology)",
+            "uncached_ms_per_image": round(
+                t_uncached / bench.BATCH * 1e3, 3
+            ),
+            "ms_per_image": round(t / bench.BATCH * 1e3, 3),
+            **extra,
+        },
+    }
+    if ref_speedup is not None:
+        row["vs_baseline"] = round(speedup / ref_speedup, 4)
+    print(json.dumps(row), flush=True)
 
 
 def main() -> None:
     import jax
 
     from ecad_tpu.models import PixArtConfig, init_params
+    from ecad_tpu.models.vae import random_decoder_pipeline
     from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
+    from ecad_tpu.pipelines.tgate import (
+        PassThroughPixArtPipeline,
+        TGATEPixArtPipeline,
+    )
     from ecad_tpu.schedules import PixArtCacheSchedule
 
     config = PixArtConfig()
     _, params = init_params(config, 0)
     pcfg = PixArtPipelineConfig(model=config)
+    vae = random_decoder_pipeline(latent_channels=config.in_channels)
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -51,32 +88,44 @@ def main() -> None:
     ).astype(config.dtype)
 
     uncached = PixArtPipeline(pcfg, params, PixArtCacheSchedule.default())
-    t_uncached = bench.time_denoise(uncached, params, text, neg, noise)
+    t_uncached = bench.time_pipeline(uncached, params, text, neg, noise, vae)
 
     for name, ref_speedup in LADDER.items():
         sched = PixArtCacheSchedule.from_json(SCHED_DIR / f"{name}.json")
         pipe = PixArtPipeline(pcfg, params, sched)
-        t = bench.time_denoise(pipe, params, text, neg, noise)
-        speedup = t_uncached / t
-        print(
-            json.dumps(
-                {
-                    "metric": f"pixart_alpha_256_{name}_wallclock_speedup",
-                    "value": round(speedup, 4),
-                    "unit": "x_vs_uncached",
-                    "vs_baseline": round(speedup / ref_speedup, 4),
-                    "detail": {
-                        "batch": bench.BATCH,
-                        "uncached_ms_per_image": round(
-                            t_uncached / bench.BATCH * 1e3, 3
-                        ),
-                        "cached_ms_per_image": round(t / bench.BATCH * 1e3, 3),
-                        "device": str(jax.devices()[0]),
-                    },
-                }
-            ),
-            flush=True,
+        t = bench.time_pipeline(pipe, params, text, neg, noise, vae)
+        emit(
+            f"pixart_alpha_256_{name}_wallclock_speedup",
+            t,
+            t_uncached,
+            ref_speedup,
+            device=str(jax.devices()[0]),
         )
+
+    # TGATE heuristic baseline (reference gen_tgate family)
+    tg_sched = PixArtCacheSchedule.from_json(TGATE)
+    gate = tg_sched.top_level_config["pipeline"]["kwargs"]["gate_step"]
+    tg = TGATEPixArtPipeline(pcfg, params, tg_sched, gate_step=gate)
+    t = bench.time_pipeline(tg, params, text, neg, noise, vae)
+    emit(
+        "pixart_alpha_256_tgate_m10_sp5_wallclock_speedup",
+        t,
+        t_uncached,
+        TGATE_REF_SPEEDUP,
+        gate_step=gate,
+    )
+
+    # pass-through: pipeline overhead with the transformer removed
+    pt = PassThroughPixArtPipeline(pcfg, params)
+    t = bench.time_pipeline(pt, params, text, neg, noise, vae)
+    emit(
+        "pixart_alpha_256_pass_through_overhead",
+        t,
+        t_uncached,
+        None,
+        note="sampler+decode floor; transformer replaced by zeros "
+        "(reference pass_through_transformer_2d.py purpose)",
+    )
 
 
 if __name__ == "__main__":

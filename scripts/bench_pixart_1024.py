@@ -1,0 +1,153 @@
+"""PixArt-α 1024×1024 full-size benchmark on one chip.
+
+Unlike the FLUX scripts this is NOT width-reduced: PixArt-XL-2 at 1024
+(sample_size 128, additional size conditions, 4096 latent tokens) is the
+same 0.6B-parameter model the reference runs, so the absolute ms/img is
+directly comparable to BASELINE.md's row — reference RTX A6000:
+default_1024x1024 3706.14 ms/img at batch 20
+(schedules/alpha_cache_schedules/gen_default_1024x1024/).
+
+Entries:
+* uncached ms/img (vs_baseline = reference ms / ours: >1 means the v5e
+  beats the A6000 on the same full model)
+* ours_fast 256→1024 schedule transfer (the FLUX-paper transfer recipe
+  applied to PixArt: schedules are (steps, blocks, components) masks,
+  resolution-independent) — cached/uncached ratio
+* the best gen_tgate_1024 entry (reference committed MACs only, no
+  latency) — cached/uncached ratio
+
+Batch 4 (CFG doubles it; 28×3 caches at 4096 tokens are the HBM
+constraint on a 16 GB v5e).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import bench  # repo-root bench.py: sync + cache-dir setup
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+REF_UNCACHED_MS = 3706.14
+BATCH = 4
+WARMUP = 2
+SAMPLES = 3
+
+
+def time_pipe(pipe, params, text, neg, noise) -> float:
+    fn = pipe.build_denoise_fn(donate=False)
+    for _ in range(WARMUP):
+        bench.sync(fn(params, noise, text, neg, None, None))
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = fn(params, noise, text, neg, None, None)
+        bench.sync(out)
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(2))
+    tk = min(run(1 + SAMPLES) for _ in range(2))
+    return (tk - t1) / SAMPLES
+
+
+def main() -> None:
+    import jax
+
+    from ecad_tpu.models import PixArtConfig, init_params
+    from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
+    from ecad_tpu.pipelines.tgate import TGATEPixArtPipeline
+    from ecad_tpu.schedules import PixArtCacheSchedule
+
+    config = PixArtConfig(sample_size=128, use_additional_conditions=True)
+    _, params = init_params(config, 0)
+    # serve in bf16 (the reference forces fp16 blocks —
+    # pixart_transformer_2d_edited.py:98); donate leaves so fp32 masters
+    # free as they convert
+    import jax.numpy as jnp
+
+    _cast = jax.jit(lambda x: x.astype(jnp.bfloat16), donate_argnums=0)
+    params = jax.tree.map(
+        lambda x: _cast(x) if x.dtype == jnp.float32 else x, params
+    )
+    pcfg = PixArtPipelineConfig(model=config)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    shape = (BATCH, config.text_len, config.caption_dim)
+    text = jax.random.normal(k1, shape).astype(config.dtype)
+    neg = jax.random.normal(k2, shape).astype(config.dtype)
+    noise = jax.random.normal(
+        k3,
+        (BATCH, config.sample_size, config.sample_size, config.in_channels),
+    ).astype(config.dtype)
+
+    default = PixArtCacheSchedule.from_json(
+        ROOT
+        / "schedules/alpha_cache_schedules/gen_default_1024x1024"
+        / "default_1024x1024.json"
+    )
+    uncached = PixArtPipeline(pcfg, params, default)
+    t_uncached = time_pipe(uncached, params, text, neg, noise)
+    ours_ms = t_uncached / BATCH * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": "pixart_alpha_1024_uncached_ms_per_image",
+                "value": round(ours_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(REF_UNCACHED_MS / ours_ms, 4),
+                "detail": {
+                    "batch": BATCH,
+                    "note": "full-size model (no width reduction); "
+                    "vs_baseline = A6000 ms / v5e ms on the same model",
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        ),
+        flush=True,
+    )
+
+    entries = {
+        "ours_fast_256_to_1024": (
+            ROOT
+            / "schedules/schedules_in_paper/pixart_alpha_256/ours_fast.json"
+        ),
+        "tgate_1024_m9_sp5": (
+            ROOT
+            / "schedules/alpha_cache_schedules/gen_tgate_1024"
+            / "tgate_m_009_sp_005_fi_001_warmup_002.json"
+        ),
+    }
+    for name, path in entries.items():
+        sched = PixArtCacheSchedule.from_json(path)
+        if "tgate" in name:
+            gate = sched.top_level_config["pipeline"]["kwargs"]["gate_step"]
+            pipe = TGATEPixArtPipeline(pcfg, params, sched, gate_step=gate)
+        else:
+            pipe = PixArtPipeline(pcfg, params, sched)
+        t = time_pipe(pipe, params, text, neg, noise)
+        print(
+            json.dumps(
+                {
+                    "metric": f"pixart_alpha_1024_{name}_wallclock_speedup",
+                    "value": round(t_uncached / t, 4),
+                    "unit": "x_vs_uncached",
+                    "detail": {
+                        "batch": BATCH,
+                        "cached_ms_per_image": round(t / BATCH * 1e3, 3),
+                        "uncached_ms_per_image": round(ours_ms, 3),
+                    },
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
