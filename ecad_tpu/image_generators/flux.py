@@ -89,6 +89,9 @@ class FluxImageGenerator(ImageGenerator):
             params = load_flux_params(
                 self.weights_root, self.transformer_weights, config
             )
+        from ..models.common import serving_cast
+
+        params = serving_cast(params, config.dtype)
         self._params = params
         pcfg = FluxPipelineConfig(
             model=config,

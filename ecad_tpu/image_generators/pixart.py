@@ -64,6 +64,9 @@ class PixArtImageGenerator(ImageGenerator):
             params = load_pixart_params(
                 self.weights_root, self.transformer_weights, config
             )
+        from ..models.common import serving_cast
+
+        params = serving_cast(params, config.dtype)
         self._params = params
         pcfg = PixArtPipelineConfig(
             model=config,

@@ -11,7 +11,7 @@ single-chip or tensor-parallel over a mesh axis ("tp") without code changes.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -156,6 +156,28 @@ def rms_norm(x: jax.Array, scale: jax.Array, eps: float = 1e-6) -> jax.Array:
 
 
 _ATTENTION_BACKEND = "xla"  # "xla" | "pallas"
+
+
+def serving_cast(params, dtype) -> Any:
+    """Cast float params to the model's compute dtype for serving.
+
+    flax linen converts params to the module `dtype` at every apply, so
+    fp32 masters buy no precision at inference — they just double weight
+    HBM residency and per-step read traffic and add convert temps (the
+    reference likewise serves reduced precision: fp16 blocks forced in
+    pixart_transformer_2d_edited.py:98, bf16 in
+    flux_transformer_2d_edited.py:92-98). No-op for non-float leaves and
+    when dtype is float32 (the fp32 tiny-config parity tests)."""
+    import jax.numpy as _jnp
+
+    if dtype == _jnp.float32:
+        return params
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and x.dtype == _jnp.float32
+        else x,
+        params,
+    )
 
 
 def set_attention_backend(name: str) -> None:

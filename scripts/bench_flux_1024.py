@@ -44,17 +44,33 @@ WARMUP = 2
 SAMPLES = 3
 
 
-def time_flux(pipe, params, noise, txt, pooled) -> float:
+def time_flux(pipe, params, noise, txt, pooled, vae) -> float:
+    """Full pipeline per the reference methodology: denoise, unpack the
+    packed latents, VAE-decode to uint8 pixels — all on device."""
+    import jax.numpy as jnp
+
+    from ecad_tpu.models.flux import unpack_latents
+
+    gh, gw = pipe.config.grid_hw
     fn = pipe.build_denoise_fn(donate=False)
+
+    def one():
+        return vae.decode_device(
+            unpack_latents(fn(params, noise, txt, pooled), gh, gw)
+        )
+
+    def sync_img(img):
+        bench.sync(img[:, ::64, ::64, :].astype(jnp.int32))
+
     for _ in range(WARMUP):
-        bench.sync(fn(params, noise, txt, pooled))
+        sync_img(one())
 
     def run(k: int) -> float:
         t0 = time.perf_counter()
         out = None
         for _ in range(k):
-            out = fn(params, noise, txt, pooled)
-        bench.sync(out)
+            out = one()
+        sync_img(out)
         return time.perf_counter() - t0
 
     t1 = min(run(1) for _ in range(2))
@@ -112,18 +128,22 @@ def main() -> None:
         config.dtype
     )
 
+    from ecad_tpu.models.vae import random_decoder_pipeline
+
+    vae = random_decoder_pipeline(latent_channels=16)
+
     default = FluxCacheSchedule.from_json(
         pathlib.Path(__file__).resolve().parent.parent
         / "schedules/flux_cache_schedules/gen_default"
         / "default_1024x1024_gs_5.0_steps_20.json"
     )
     uncached = FluxPipeline(pcfg, params, default)
-    t_uncached = time_flux(uncached, params, noise, txt, pooled)
+    t_uncached = time_flux(uncached, params, noise, txt, pooled, vae)
 
     for name, ref_speedup in LADDER.items():
         sched = FluxCacheSchedule.from_json(SCHED_DIR / f"{name}.json")
         pipe = FluxPipeline(pcfg, params, sched)
-        t = time_flux(pipe, params, noise, txt, pooled)
+        t = time_flux(pipe, params, noise, txt, pooled, vae)
         speedup = t_uncached / t
         print(
             json.dumps(

@@ -71,8 +71,11 @@ def main() -> None:
     )
     from ecad_tpu.schedules import PixArtCacheSchedule
 
+    from ecad_tpu.models.common import serving_cast
+
     config = PixArtConfig()
     _, params = init_params(config, 0)
+    params = serving_cast(params, config.dtype)  # bf16 serving weights
     pcfg = PixArtPipelineConfig(model=config)
     vae = random_decoder_pipeline(latent_channels=config.in_channels)
 

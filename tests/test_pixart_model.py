@@ -172,3 +172,21 @@ def test_text_mask_bias(tiny):
     np.testing.assert_allclose(
         np.asarray(out_masked), np.asarray(out_masked2), rtol=2e-5, atol=2e-5
     )
+
+
+def test_serving_cast():
+    """fp32 masters → compute-dtype leaves for serving; fp32 configs (the
+    parity-test regime) pass through untouched."""
+    import jax.numpy as jnp
+
+    from ecad_tpu.models.common import serving_cast
+
+    tree = {
+        "w": jnp.ones((4, 4), jnp.float32),
+        "step": jnp.array(3, jnp.int32),
+    }
+    out = serving_cast(tree, jnp.bfloat16)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["step"].dtype == jnp.int32
+    same = serving_cast(tree, jnp.float32)
+    assert same["w"].dtype == jnp.float32
