@@ -59,35 +59,45 @@ def load_schedule():
     return PixArtCacheSchedule.from_json(OURS_FAST)
 
 
-def time_pipeline(pipe, params, text, neg, noise, vae) -> float:
+def sync_image(img) -> None:
+    """Force execution via a small sliced fetch (full uint8 images would
+    crawl through the tunnel; _scalar_sum casts to f32 internally)."""
+    sync(img[:, ::64, ::64, :])
+
+
+def time_fn(one, sync_out=sync_image, warmup=None, samples=None) -> float:
     """Per-run wall clock via pipelined dispatch: T(k runs) − T(1 run) over
-    (k−1) cancels both the host→device RTT and dispatch overhead. The run
-    is the full image pipeline: denoise loop then VAE decode to uint8
-    pixels, all on-device (the reference times pipeline.__call__, which
-    ends at pixels)."""
-    fn = pipe.build_denoise_fn(donate=False)
-
-    def sync_img(img) -> None:
-        # uint8 sum overflows harmlessly; we only need the data dependency
-        sync(img[:, ::64, ::64, :].astype(jnp.int32))
-
-    def one():
-        return vae.decode_device(fn(params, noise, text, neg, None, None))
-
-    for _ in range(WARMUP):
-        sync_img(one())
+    (k−1) cancels both the host→device RTT and dispatch overhead. `one`
+    dispatches one full run and returns its final device output; all
+    bench scripts share this scaffold."""
+    warmup = WARMUP if warmup is None else warmup
+    samples = SAMPLES if samples is None else samples
+    for _ in range(warmup):
+        sync_out(one())
 
     def run(k: int) -> float:
         t0 = time.perf_counter()
         out = None
         for _ in range(k):
             out = one()
-        sync_img(out)
+        sync_out(out)
         return time.perf_counter() - t0
 
     t1 = min(run(1) for _ in range(2))
-    tk = min(run(1 + SAMPLES) for _ in range(2))
-    return (tk - t1) / SAMPLES
+    tk = min(run(1 + samples) for _ in range(2))
+    return (tk - t1) / samples
+
+
+def time_pipeline(pipe, params, text, neg, noise, vae) -> float:
+    """The timed run is the full image pipeline: denoise loop then VAE
+    decode to uint8 pixels, all on-device (the reference times
+    pipeline.__call__, which ends at pixels)."""
+    fn = pipe.build_denoise_fn(donate=False)
+
+    def one():
+        return vae.decode_device(fn(params, noise, text, neg, None, None))
+
+    return time_fn(one)
 
 
 def main() -> None:

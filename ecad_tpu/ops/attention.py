@@ -251,11 +251,16 @@ def fused_attention(
     tk_pad = _round_up(tk, 128)
 
     score_bytes = tq_pad * tk_pad * 4
-    flash_ok_bias = bias is None or (
-        bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
-    )
-    if score_bytes > _SINGLE_TILE_SCORE_BYTES and flash_ok_bias:
-        return _flash_attention(q, k, v, bias, interpret)
+    if score_bytes > _SINGLE_TILE_SCORE_BYTES:
+        flash_ok_bias = bias is None or (
+            bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
+        )
+        if flash_ok_bias:
+            return _flash_attention(q, k, v, bias, interpret)
+        # dense (B,H,Tq,Tk) bias at a size the single-tile kernel cannot
+        # hold in VMEM: no DiT tower emits this shape — delegate to XLA
+        # rather than fail the pallas_call compile
+        return jax.nn.dot_product_attention(q, k, v, bias=bias)
 
     def pad(x, t_pad):
         t = x.shape[1]

@@ -24,7 +24,6 @@ from __future__ import annotations
 import json
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -47,8 +46,6 @@ SAMPLES = 3
 def time_flux(pipe, params, noise, txt, pooled, vae) -> float:
     """Full pipeline per the reference methodology: denoise, unpack the
     packed latents, VAE-decode to uint8 pixels — all on device."""
-    import jax.numpy as jnp
-
     from ecad_tpu.models.flux import unpack_latents
 
     gh, gw = pipe.config.grid_hw
@@ -59,23 +56,7 @@ def time_flux(pipe, params, noise, txt, pooled, vae) -> float:
             unpack_latents(fn(params, noise, txt, pooled), gh, gw)
         )
 
-    def sync_img(img):
-        bench.sync(img[:, ::64, ::64, :].astype(jnp.int32))
-
-    for _ in range(WARMUP):
-        sync_img(one())
-
-    def run(k: int) -> float:
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = one()
-        sync_img(out)
-        return time.perf_counter() - t0
-
-    t1 = min(run(1) for _ in range(2))
-    tk = min(run(1 + SAMPLES) for _ in range(2))
-    return (tk - t1) / SAMPLES
+    return bench.time_fn(one, warmup=WARMUP, samples=SAMPLES)
 
 
 def main() -> None:

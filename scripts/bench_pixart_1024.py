@@ -25,7 +25,6 @@ from __future__ import annotations
 import json
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -38,22 +37,16 @@ WARMUP = 2
 SAMPLES = 3
 
 
-def time_pipe(pipe, params, text, neg, noise) -> float:
+def time_pipe(pipe, params, text, neg, noise, vae) -> float:
+    """Full pipeline (denoise + VAE decode to 1024² pixels) — same timed
+    region as the reference's 3706.14 ms row, so the absolute ms/img
+    comparison holds."""
     fn = pipe.build_denoise_fn(donate=False)
-    for _ in range(WARMUP):
-        bench.sync(fn(params, noise, text, neg, None, None))
 
-    def run(k: int) -> float:
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = fn(params, noise, text, neg, None, None)
-        bench.sync(out)
-        return time.perf_counter() - t0
+    def one():
+        return vae.decode_device(fn(params, noise, text, neg, None, None))
 
-    t1 = min(run(1) for _ in range(2))
-    tk = min(run(1 + SAMPLES) for _ in range(2))
-    return (tk - t1) / SAMPLES
+    return bench.time_fn(one, warmup=WARMUP, samples=SAMPLES)
 
 
 def main() -> None:
@@ -67,14 +60,12 @@ def main() -> None:
     config = PixArtConfig(sample_size=128, use_additional_conditions=True)
     _, params = init_params(config, 0)
     # serve in bf16 (the reference forces fp16 blocks —
-    # pixart_transformer_2d_edited.py:98); donate leaves so fp32 masters
-    # free as they convert
-    import jax.numpy as jnp
+    # pixart_transformer_2d_edited.py:98)
+    from ecad_tpu.models.common import serving_cast
+    from ecad_tpu.models.vae import random_decoder_pipeline
 
-    _cast = jax.jit(lambda x: x.astype(jnp.bfloat16), donate_argnums=0)
-    params = jax.tree.map(
-        lambda x: _cast(x) if x.dtype == jnp.float32 else x, params
-    )
+    params = serving_cast(params, config.dtype)
+    vae = random_decoder_pipeline(latent_channels=config.in_channels)
     pcfg = PixArtPipelineConfig(model=config)
 
     key = jax.random.PRNGKey(0)
@@ -93,7 +84,7 @@ def main() -> None:
         / "default_1024x1024.json"
     )
     uncached = PixArtPipeline(pcfg, params, default)
-    t_uncached = time_pipe(uncached, params, text, neg, noise)
+    t_uncached = time_pipe(uncached, params, text, neg, noise, vae)
     ours_ms = t_uncached / BATCH * 1e3
     print(
         json.dumps(
@@ -104,8 +95,9 @@ def main() -> None:
                 "vs_baseline": round(REF_UNCACHED_MS / ours_ms, 4),
                 "detail": {
                     "batch": BATCH,
-                    "note": "full-size model (no width reduction); "
-                    "vs_baseline = A6000 ms / v5e ms on the same model",
+                    "note": "full-size model (no width reduction); timed "
+                    "region = denoise + VAE decode, matching the "
+                    "reference row; vs_baseline = A6000 ms / v5e ms",
                     "device": str(jax.devices()[0]),
                 },
             }
@@ -131,7 +123,7 @@ def main() -> None:
             pipe = TGATEPixArtPipeline(pcfg, params, sched, gate_step=gate)
         else:
             pipe = PixArtPipeline(pcfg, params, sched)
-        t = time_pipe(pipe, params, text, neg, noise)
+        t = time_pipe(pipe, params, text, neg, noise, vae)
         print(
             json.dumps(
                 {

@@ -127,7 +127,9 @@ class TestFlashAttention:
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
         )
 
-        # dense bias: must NOT take the flash path
+        # dense bias: must NOT take the flash path; above the score-tile
+        # budget it must fall back to XLA instead of a pallas_call that
+        # cannot fit VMEM
         calls.clear()
         bias = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 64, 256))
         want = jax.nn.dot_product_attention(q, k, v, bias=bias)
