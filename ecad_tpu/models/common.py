@@ -197,6 +197,27 @@ if _os.environ.get("ECAD_ATTENTION_BACKEND"):
     set_attention_backend(_os.environ["ECAD_ATTENTION_BACKEND"])
 
 
+def _auto_flash(q, k, bias) -> bool:
+    """Route long-sequence attention to the Pallas flash kernel even on
+    the default XLA backend when it is a measured win: score tile beyond
+    the single-tile VMEM budget, lane-aligned head dim (128-multiple — at
+    D72 the 72→128 pad costs more than the fusion saves: 13.7 vs 12.4 ms
+    at the PixArt-1024 shape, while D128 FLUX-1024 measures 6.0 vs
+    32.3 ms), and a flash-compatible (None or key-padding) bias."""
+    d = q.shape[-1]
+    if d % 128 != 0:
+        return False
+    from ..ops.attention import _SINGLE_TILE_SCORE_BYTES, _round_up
+
+    tq = _round_up(q.shape[1], 8)
+    tk = _round_up(k.shape[1], 128)
+    if tq * tk * 4 <= _SINGLE_TILE_SCORE_BYTES:
+        return False
+    return bias is None or (
+        bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
+    )
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -204,11 +225,16 @@ def dot_product_attention(
     bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Fused SDPA over (B, T, H, Dh) tensors with fp32 softmax; backend per
-    set_attention_backend."""
+    set_attention_backend, with an automatic flash-kernel fast path for
+    long lane-aligned sequences regardless of backend."""
     if _ATTENTION_BACKEND == "pallas":
         from ..ops.attention import fused_attention
 
         return fused_attention(q, k, v, bias=bias)
+    if jax.default_backend() == "tpu" and _auto_flash(q, k, bias):
+        from ..ops.attention import _flash_attention
+
+        return _flash_attention(q, k, v, bias, interpret=False)
     return jax.nn.dot_product_attention(q, k, v, bias=bias)
 
 

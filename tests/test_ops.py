@@ -138,3 +138,40 @@ class TestFlashAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
         )
+
+
+def test_auto_flash_predicate():
+    """Backend-independent flash routing: long lane-aligned sequences only
+    (D%128==0; D72 measured slower through the pad), flash-compatible
+    bias, score tile beyond the single-tile budget."""
+    from ecad_tpu.models.common import _auto_flash
+
+    def arr(b, t, h, d):
+        return jnp.zeros((b, t, h, d), jnp.bfloat16)
+
+    q128, k128 = arr(1, 4608, 2, 128), arr(1, 4608, 2, 128)
+    assert _auto_flash(q128, k128, None)
+    # D72: lane padding not worth it
+    assert not _auto_flash(arr(1, 4096, 2, 72), arr(1, 4096, 2, 72), None)
+    # short sequence: single-tile/XLA territory
+    assert not _auto_flash(arr(1, 768, 2, 128), arr(1, 768, 2, 128), None)
+    # key-padding bias ok; dense bias not
+    pad_bias = jnp.zeros((1, 1, 1, 4608))
+    assert _auto_flash(q128, k128, pad_bias)
+    dense_bias = jnp.zeros((1, 2, 4608, 4608))
+    assert not _auto_flash(q128, k128, dense_bias)
+
+
+def test_auto_flash_dispatches_on_noncpu(monkeypatch):
+    """When the backend reports non-cpu, dot_product_attention routes
+    eligible shapes through the flash kernel."""
+    import ecad_tpu.models.common as C
+    import ecad_tpu.ops.attention as A
+
+    sentinel = object()
+    monkeypatch.setattr(A, "_flash_attention",
+                        lambda q, k, v, bias, interpret: sentinel)
+    monkeypatch.setattr(C.jax, "default_backend", lambda: "tpu")
+    q = jnp.zeros((1, 4608, 2, 128), jnp.bfloat16)
+    out = C.dot_product_attention(q, q, q)
+    assert out is sentinel
