@@ -282,6 +282,11 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
             PixArtPipeline(pcfg, params), mesh,
             lambda: init_params(config, 0)[1],
         )
+        from ..models.common import serving_cast
+
+        # bf16 serving weights (cast after sharding so placement is kept;
+        # no-op for the fp32 tiny-model config)
+        pipeline.params = serving_cast(pipeline.params, config.dtype)
 
     if args.embeddings_dir is not None:
         from ..utils.io import load_embedding_dir
