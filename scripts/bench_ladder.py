@@ -105,6 +105,35 @@ def main() -> None:
             device=str(jax.devices()[0]),
         )
 
+    # PixArt-Σ rows (identical architecture — only checkpoint weights
+    # differ, which random-weight timing is invariant to; the schedules
+    # are the σ-optimized / α→σ-transferred masks). Reference A6000:
+    # σ uncached 167.62 ms, σ ours_fast 84.84 (1.976×),
+    # σ-from-α-transfer gen_250 93.68 (1.789×) — BASELINE.md.
+    sigma_entries = {
+        "sigma_ours_fast": (
+            ROOT / "schedules/schedules_in_paper/pixart_sigma_256"
+            / "ours_fast.json",
+            167.62 / 84.84,
+        ),
+        "sigma_from_alpha_transfer": (
+            ROOT
+            / "schedules/schedules_in_paper/pixart_alpha_to_sigma_transfer"
+            / "pixart_sigma_from_alpha_gen_250.json",
+            167.62 / 93.68,
+        ),
+    }
+    for name, (path, ref_speedup) in sigma_entries.items():
+        sched = PixArtCacheSchedule.from_json(path)
+        pipe = PixArtPipeline(pcfg, params, sched)
+        t = bench.time_pipeline(pipe, params, text, neg, noise, vae)
+        emit(
+            f"pixart_sigma_256_{name}_wallclock_speedup",
+            t,
+            t_uncached,
+            ref_speedup,
+        )
+
     # TGATE heuristic baseline (reference gen_tgate family)
     tg_sched = PixArtCacheSchedule.from_json(TGATE)
     gate = tg_sched.top_level_config["pipeline"]["kwargs"]["gate_step"]
