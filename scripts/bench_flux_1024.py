@@ -38,7 +38,10 @@ SCHED_DIR = (  # vendored paper artifacts (schedules/README.md)
     pathlib.Path(__file__).resolve().parent.parent
     / "schedules/schedules_in_paper/flux_256_to_1024"
 )
-BATCH = 1  # batch 2 exceeds one chip's HBM at 4608-token activations
+BATCH = 1  # batch 2 fits (9.3 GiB per XLA memory_analysis once the fp32
+# masters are gone) but measures WORSE per image on one chip (uncached
+# 3678 vs 3547 ms/img, fast transfer 1368 vs 1228) — the 4608-token
+# working set already saturates the chip at batch 1
 WARMUP = 2
 SAMPLES = 3
 
