@@ -8,7 +8,11 @@ the paper's flagship schedule `ours_fast` (metrics: 2.135 TMACs vs 5.714
 uncached; 84.09 ms vs 165.74 ms on the reference's RTX A6000 → 1.971×
 wall-clock). Including the decode makes the cached/uncached ratio directly
 comparable to the reference's methodology: the decode is a fixed overhead
-both stacks pay.
+both stacks pay. One residual asymmetry: the reference's timed region ends
+after device→host transfer + PIL conversion (output_type="pil"), while this
+bench syncs a sliced device fetch — host-copy/PIL cost is excluded here, so
+*absolute* ms/img is slightly flattered; the cached/uncached *ratio* (the
+reported metric) is unaffected since both arms exclude the same tail.
 
 Prints ONE JSON line:
   metric  pixart_alpha_256 cached-vs-uncached wall-clock speedup

@@ -207,15 +207,17 @@ def _auto_flash(q, k, bias) -> bool:
     d = q.shape[-1]
     if d % 128 != 0:
         return False
-    from ..ops.attention import _SINGLE_TILE_SCORE_BYTES, _round_up
+    from ..ops.attention import (
+        _SINGLE_TILE_SCORE_BYTES,
+        _flash_bias_ok,
+        _round_up,
+    )
 
     tq = _round_up(q.shape[1], 8)
     tk = _round_up(k.shape[1], 128)
     if tq * tk * 4 <= _SINGLE_TILE_SCORE_BYTES:
         return False
-    return bias is None or (
-        bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
-    )
+    return _flash_bias_ok(bias, q.shape[0])
 
 
 def dot_product_attention(

@@ -40,6 +40,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _flash_bias_ok(bias: Optional[jax.Array], batch: int) -> bool:
+    """True iff `bias` is a shape the flash path handles: None, or a
+    key-padding bias (B, 1, 1, Tk) / batch-broadcast (1, 1, 1, Tk).
+    Single source of truth for the predicate used by fused_attention's
+    routing, models.common._auto_flash, and _flash_attention itself —
+    keeping the three sites in sync (a broadcastable bias the kernel
+    can't index safely must fall back to XLA everywhere at once)."""
+    return bias is None or (
+        bias.ndim == 4
+        and bias.shape[1] == 1
+        and bias.shape[2] == 1
+        and bias.shape[0] in (1, batch)
+    )
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     """One (batch·head) tile: q (Tq, D), k (Tk, D), v (Tk, D) in VMEM."""
     q = q_ref[0].astype(jnp.float32) * scale
@@ -86,6 +101,17 @@ _SINGLE_TILE_SCORE_BYTES = 8 * 1024 * 1024
 _FLASH_BLOCK_Q = 512
 _FLASH_BLOCK_K = 1536
 _NEG_INF = -1e9
+_LOG2E = 1.4426950408889634
+
+# Row-block single-pass kernel: when the whole (padded) key sequence fits
+# VMEM next to one q-block's fp32 score tile, the online-softmax
+# recurrence is pure overhead — one grid step per (batch·head, q-block)
+# computes exact softmax rows with no m/l scratch and no rescale. The
+# DiT shapes this framework serves all qualify (FLUX-1024: 4608×128,
+# PixArt-1024: 4096×128-padded); the streaming kernel remains for longer
+# sequences. Threshold in k-elements (tk_pad × d_pad).
+_ROWBLOCK_BLOCK_Q = 256
+_ROWBLOCK_MAX_KV_ELEMS = 8192 * 128
 
 
 def _flash_kernel(
@@ -137,6 +163,115 @@ def _flash_kernel(
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
+def _rowblock_kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
+    """One (batch·head, q-block) grid step: full-softmax rows against the
+    entire key sequence resident in VMEM. q arrives pre-scaled by
+    softmax_scale·log2(e) and the bias pre-scaled by log2(e), so the
+    softmax uses exp2 directly — exp lowers to exp2 plus a multiply on
+    the VPU, and at Tq×Tk = 21M score elements per (batch, head) the
+    transcendental is a first-order cost."""
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, tk_pad) fp32
+    s = s + b_ref[0]  # (1, tk_pad) log2-domain bias broadcasts over rows
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (pv / denom).astype(o_ref.dtype)
+
+
+def _rowblock_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array],
+    interpret: bool,
+) -> jax.Array:
+    """Single-pass long-sequence path (see _rowblock_kernel). Same bias
+    contract as _flash_attention: None or key-padding (B|1, 1, 1, Tk)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale = _LOG2E / float(np.sqrt(d))
+
+    d_pad = _round_up(d, 128)
+    bq = min(_ROWBLOCK_BLOCK_Q, _round_up(tq, 8))
+    tq_pad = _round_up(tq, bq)
+    tk_pad = _round_up(tk, 128)
+
+    def pad(x, t_pad):
+        t = x.shape[1]
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0), (0, d_pad - d)))
+
+    qp = pad(q, tq_pad).transpose(0, 2, 1, 3).reshape(b * h, tq_pad, d_pad)
+    qp = qp * jnp.asarray(scale, qp.dtype)  # prefold scale·log2e into q
+    kp = pad(k, tk_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
+    vp = pad(v, tk_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
+
+    pad_bias = jnp.where(jnp.arange(tk_pad) < tk, 0.0, _NEG_INF).astype(
+        jnp.float32
+    )[None, None, :]
+    if bias is None:
+        bias_arr = pad_bias  # (1, 1, tk_pad)
+        bias_index = lambda i, qi: (0, 0, 0)  # noqa: E731
+    elif _flash_bias_ok(bias, b):
+        bias_b = jnp.pad(
+            jnp.broadcast_to(
+                bias.astype(jnp.float32)[:, 0] * _LOG2E, (b, 1, tk)
+            ),
+            ((0, 0), (0, 0), (0, tk_pad - tk)),
+        )  # (b, 1, tk_pad), log2 domain
+        bias_arr = bias_b + pad_bias
+        bias_index = lambda i, qi: (i // h, 0, 0)  # noqa: E731
+    else:
+        raise NotImplementedError(
+            "row-block path supports only key-padding biases (B, 1, 1, Tk);"
+            f" got shape {bias.shape}"
+        )
+
+    # qi innermost: k/v index maps are constant in qi, so Pallas keeps
+    # them VMEM-resident across all q-blocks of one (batch·head)
+    grid = (b * h, tq_pad // bq)
+    out = pl.pallas_call(
+        _rowblock_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, bq, d_pad),
+                lambda i, qi: (i, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tk_pad, d_pad),
+                lambda i, qi: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tk_pad, d_pad),
+                lambda i, qi: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, tk_pad), bias_index, memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), q.dtype),
+        out_specs=pl.BlockSpec(
+            (1, bq, d_pad),
+            lambda i, qi: (i, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias_arr)
+    out = out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
+    return out.transpose(0, 2, 1, 3)
+
+
 def _flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -144,15 +279,19 @@ def _flash_attention(
     bias: Optional[jax.Array],
     interpret: bool,
 ) -> jax.Array:
-    """KV-blocked streaming path for sequences whose score matrix exceeds
-    VMEM. Supports bias=None or key-padding bias (B, 1, 1, Tk) — the only
-    shapes the DiT towers emit; dense (B, H, Tq, Tk) biases raise (the
-    single-tile kernel or XLA handles those sizes)."""
+    """Long-sequence path: single-pass row-block kernel when the whole
+    key sequence fits VMEM (every DiT shape this framework serves),
+    KV-blocked online-softmax streaming beyond that. Supports bias=None
+    or key-padding bias (B|1, 1, 1, Tk) — the only shapes the DiT towers
+    emit; dense (B, H, Tq, Tk) biases raise (the single-tile kernel or
+    XLA handles those sizes)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, tq, h, d = q.shape
     tk = k.shape[1]
+    if _round_up(tk, 128) * _round_up(d, 128) <= _ROWBLOCK_MAX_KV_ELEMS:
+        return _rowblock_attention(q, k, v, bias, interpret)
     scale = 1.0 / float(np.sqrt(d))
 
     d_pad = _round_up(d, 128)
@@ -175,10 +314,15 @@ def _flash_attention(
     if bias is None:
         bias_arr = pad_bias  # (1, 1, tk_pad)
         bias_index = lambda i, qi, ki: (0, 0, ki)  # noqa: E731
-    elif bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
+    elif _flash_bias_ok(bias, b):
+        # broadcast a (1,1,1,Tk) batch-broadcast bias to the real batch
+        # BEFORE the pallas_call: bias_index maps grid step i to batch
+        # i // h, and Pallas block reads beyond a size-1 dim are silent
+        # garbage, not an error.
         bias_b = jnp.pad(
-            bias.astype(jnp.float32)[:, 0], ((0, 0), (0, 0), (0, tk_pad - tk))
-        )  # (B, 1, tk_pad)
+            jnp.broadcast_to(bias.astype(jnp.float32)[:, 0], (b, 1, tk)),
+            ((0, 0), (0, 0), (0, tk_pad - tk)),
+        )  # (b, 1, tk_pad)
         bias_arr = bias_b + pad_bias
         bias_index = lambda i, qi, ki: (i // h, 0, ki)  # noqa: E731
     else:
@@ -252,10 +396,7 @@ def fused_attention(
 
     score_bytes = tq_pad * tk_pad * 4
     if score_bytes > _SINGLE_TILE_SCORE_BYTES:
-        flash_ok_bias = bias is None or (
-            bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
-        )
-        if flash_ok_bias:
+        if _flash_bias_ok(bias, b):
             return _flash_attention(q, k, v, bias, interpret)
         # dense (B,H,Tq,Tk) bias at a size the single-tile kernel cannot
         # hold in VMEM: no DiT tower emits this shape — delegate to XLA

@@ -97,7 +97,10 @@ def main() -> None:
                     "batch": BATCH,
                     "note": "full-size model (no width reduction); timed "
                     "region = denoise + VAE decode, matching the "
-                    "reference row; vs_baseline = A6000 ms / v5e ms",
+                    "reference row; vs_baseline = A6000 ms / v5e ms. "
+                    "Caveat: the reference's region also includes "
+                    "device->host copy + PIL conversion, excluded here, "
+                    "so the absolute comparison is slightly flattered",
                     "device": str(jax.devices()[0]),
                 },
             }

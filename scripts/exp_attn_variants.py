@@ -1,0 +1,231 @@
+"""Kernel-variant experiments for the long-sequence attention regime.
+
+Research harness (run on the real TPU) that decomposes the row-block
+kernel's time at the two headline shapes to find what stands between the
+measured ~4.5 ms and the ~2.7 ms MXU roofline at B2H24T4608D128:
+
+* matmul_only — (q·kᵀ)·v with no softmax: the MXU + DMA floor.
+* nomax       — exp2 softmax without the running-max subtraction (safe
+                whenever logits are bounded, e.g. QK-normed FLUX): drops
+                one full VPU pass (max) + one subtract pass.
+* chunk2      — kv processed in two in-kernel chunks so chunk 1's VPU
+                softmax can dual-issue with chunk 2's MXU matmul.
+* rowblock    — the shipping single-pass kernel (baseline).
+
+Winners get promoted into ecad_tpu/ops/attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+_LOG2E = 1.4426950408889634
+
+SHAPES = {
+    "flux1024": dict(b=2, h=24, t=4608, d=128),
+    "pixart1024": dict(b=8, h=16, t=4096, d=72),
+}
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _prep(q, k, v, bq, prescale):
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    d_pad = _round_up(d, 128)
+    tq_pad = _round_up(tq, bq)
+    tk_pad = _round_up(tk, 128)
+
+    def pad(x, t_pad):
+        t = x.shape[1]
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0), (0, d_pad - d)))
+
+    qp = pad(q, tq_pad).transpose(0, 2, 1, 3).reshape(b * h, tq_pad, d_pad)
+    if prescale:
+        qp = qp * jnp.asarray(_LOG2E / np.sqrt(d), qp.dtype)
+    kp = pad(k, tk_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
+    vp = pad(v, tk_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
+    return qp, kp, vp, (b, h, tq, tk, d, d_pad, tq_pad, tk_pad)
+
+
+def _call(kernel, qp, kp, vp, dims, bq, n_k_chunks=1):
+    b, h, tq, tk, d, d_pad, tq_pad, tk_pad = dims
+    grid = (b * h, tq_pad // bq)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, bq, d_pad), lambda i, qi: (i, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tk_pad, d_pad), lambda i, qi: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tk_pad, d_pad), lambda i, qi: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), qp.dtype),
+        out_specs=pl.BlockSpec(
+            (1, bq, d_pad), lambda i, qi: (i, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(qp, kp, vp)
+    return out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d].transpose(0, 2, 1, 3)
+
+
+def k_matmul_only(q_ref, k_ref, v_ref, o_ref):
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pv = jax.lax.dot_general(
+        s.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = pv.astype(o_ref.dtype)
+
+
+def k_nomax(q_ref, k_ref, v_ref, o_ref):
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp2(s)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (pv / denom).astype(o_ref.dtype)
+
+
+def k_rowblock(q_ref, k_ref, v_ref, o_ref):
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (pv / denom).astype(o_ref.dtype)
+
+
+def k_chunk2(q_ref, k_ref, v_ref, o_ref):
+    """Two kv chunks unrolled in-body: chunk 0's softmax (VPU) has no
+    dependency on chunk 1's score matmul (MXU), so the scheduler can
+    dual-issue them."""
+    tk_pad = k_ref.shape[1]
+    half = tk_pad // 2
+    q = q_ref[0]
+    s0 = jax.lax.dot_general(
+        q, k_ref[0, :half], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m0 = jnp.max(s0, axis=-1, keepdims=True)
+    p0 = jnp.exp2(s0 - m0)
+    s1 = jax.lax.dot_general(
+        q, k_ref[0, half:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m1 = jnp.max(s1, axis=-1, keepdims=True)
+    p1 = jnp.exp2(s1 - m1)
+    m = jnp.maximum(m0, m1)
+    a0 = jnp.exp2(m0 - m)
+    a1 = jnp.exp2(m1 - m)
+    denom = a0 * jnp.sum(p0, axis=-1, keepdims=True) + a1 * jnp.sum(
+        p1, axis=-1, keepdims=True
+    )
+    pv0 = jax.lax.dot_general(
+        p0.astype(v_ref.dtype), v_ref[0, :half], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pv1 = jax.lax.dot_general(
+        p1.astype(v_ref.dtype), v_ref[0, half:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = ((a0 * pv0 + a1 * pv1) / denom).astype(o_ref.dtype)
+
+
+VARIANTS = {
+    "matmul_only": (k_matmul_only, False),
+    "nomax": (k_nomax, True),
+    "rowblock": (k_rowblock, True),
+    "chunk2": (k_chunk2, True),
+}
+
+
+def main() -> None:
+    bqs = [int(x) for x in sys.argv[1:]] or [256, 512]
+    for name, s in SHAPES.items():
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        mk = lambda key: (  # noqa: E731
+            jax.random.normal(key, (s["b"], s["t"], s["h"], s["d"])).astype(
+                jnp.bfloat16
+            )
+        )
+        q, k, v = mk(keys[0]), mk(keys[1]), mk(keys[2])
+        ref = jax.nn.dot_product_attention(q, k, v)
+        bench.sync(ref)
+        for bq in bqs:
+            for label, (kernel, prescale) in VARIANTS.items():
+                fn = jax.jit(
+                    functools.partial(
+                        lambda q, k, v, kernel=kernel, prescale=prescale,
+                        bq=bq: _call(
+                            kernel, *_prep(q, k, v, bq, prescale), bq
+                        )
+                    )
+                )
+                out = fn(q, k, v)
+                e = (
+                    float(
+                        jnp.abs(
+                            out.astype(jnp.float32) - ref.astype(jnp.float32)
+                        ).max()
+                    )
+                    if label != "matmul_only"
+                    else None
+                )
+                ms = bench.time_fn(
+                    lambda: fn(q, k, v), sync_out=bench.sync,
+                    warmup=2, samples=8,
+                )
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"exp_{name}_{label}_bq{bq}",
+                            "value": round(ms * 1e3, 3),
+                            "unit": "ms",
+                            "detail": {"max_abs_err_vs_xla_bf16": e},
+                        }
+                    ),
+                    flush=True,
+                )
+
+
+if __name__ == "__main__":
+    main()

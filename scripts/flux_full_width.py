@@ -1,0 +1,290 @@
+"""Full-width, full-depth FLUX.1-dev evidence (VERDICT r2 item 1).
+
+The reference executes the true 12B FLUX.1-dev end-to-end on a 48 GB A6000
+(/root/reference/ecad/transformer_2d_models/flux_transformer_2d_edited.py:92-98).
+The TPU-native equivalent is the same model sharded dp×tp over a v5e-8.
+This script produces the two pieces of compiler/executor evidence:
+
+  cpu  — instantiate ALL 19 dual + 38 single blocks at dim 3072 (11.9B
+         params, bf16), shard dp=2 × tp=4 over an 8-device virtual CPU
+         mesh, execute ONE denoise step at 256², assert output finiteness
+         and cache sharding specs. Self-bootstraps into a subprocess with
+         JAX_PLATFORMS=cpu + --xla_force_host_platform_device_count=8 when
+         fewer than 8 devices are visible (same mechanism as
+         __graft_entry__.dryrun_multichip).
+
+  aot  — AOT-lower the dynamic-mode (lax.cond, dense-cache) FLUX-1024
+         denoise step for a real TPU v5e-8 topology
+         (jax.experimental.topologies) at dp=2 × tp=4 and print
+         compiled.memory_analysis() per-chip bytes next to the analytic
+         table in docs/flux_hbm_accounting.md.
+
+Usage: python scripts/flux_full_width.py {cpu|aot}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+GIB = 1024**3
+
+
+def build_bf16_params(config):
+    """Full-width params without ever materializing fp32 masters (the
+    eval_shape + direct-fill recipe from scripts/bench_flux_1024.py):
+    abstract boxed tree for sharding metadata, numpy-filled bf16 leaves."""
+    import jax
+    import numpy as np
+    from flax import linen as nn
+
+    from ecad_tpu.models.flux import FluxTransformer, full_flux_mask
+
+    model = FluxTransformer(config)
+
+    def init_fn(key):
+        import jax.numpy as jnp
+
+        latents = jnp.zeros((1, 16, config.in_channels), config.dtype)
+        txt = jnp.zeros((1, config.text_len, config.joint_dim), config.dtype)
+        pooled = jnp.zeros((1, config.pooled_dim), config.dtype)
+        t = jnp.zeros((1,), jnp.float32)
+        g = jnp.ones((1,), jnp.float32)
+        return model.init(
+            key, latents, txt, pooled, t, g, {}, full_flux_mask(config), (4, 4)
+        )["params"]
+
+    abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    def fill(leaf):
+        arr = rng.standard_normal(leaf.shape, dtype=np.float32) * 0.02
+        return jnp.asarray(arr, dtype=jnp.bfloat16)
+
+    plain = jax.tree.map(
+        fill,
+        nn.meta.unbox(abstract),
+    )
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(plain))
+    return model, plain, abstract, n_params
+
+
+def stage_cpu() -> None:
+    import jax
+
+    if len(jax.devices()) < 8:
+        import re
+        import subprocess
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = re.sub(
+            r"--xla_force_host_platform_device_count=\d+",
+            "",
+            env.get("XLA_FLAGS", ""),
+        )
+        env["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count=8".strip()
+        )
+        raise SystemExit(
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "cpu"], env=env
+            ).returncode
+        )
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from ecad_tpu.models.flux import FluxConfig, full_flux_mask
+    from ecad_tpu.parallel import batch_sharding, create_mesh, shard_params
+
+    config = FluxConfig()  # the real thing: dim 3072, 19 + 38 blocks
+    model, plain, abstract, n_params = build_bf16_params(config)
+    print(f"params: {n_params/1e9:.3f}B ({n_params*2/GIB:.1f} GiB bf16)",
+          flush=True)
+    assert n_params > 11.8e9, "full-width FLUX should be ~11.9B params"
+
+    mesh = create_mesh(dp=2, tp=4)
+    params = shard_params(plain, mesh, like=abstract)
+
+    # 256²: VAE /8 → 32×32×16 latents → packed (B, 256, 64), grid 16×16
+    b, gh, gw = 2, 16, 16
+    bs = batch_sharding(mesh)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    latents = jax.device_put(
+        jax.random.normal(k1, (b, gh * gw, config.in_channels)).astype(
+            config.dtype
+        ),
+        bs,
+    )
+    txt = jax.device_put(
+        jax.random.normal(k2, (b, config.text_len, config.joint_dim)).astype(
+            config.dtype
+        ),
+        bs,
+    )
+    pooled = jax.device_put(
+        jax.random.normal(k3, (b, config.pooled_dim)).astype(config.dtype), bs
+    )
+    t = jnp.full((b,), 0.981, jnp.float32)
+    g = jnp.full((b,), 5.0, jnp.float32)
+    mask = full_flux_mask(config)
+
+    def step(params, x, txt, pooled):
+        v, cache = model.apply(
+            {"params": params}, x, txt, pooled, t, g, {}, mask, (gh, gw)
+        )
+        # one flow-match Euler update
+        x1 = (x.astype(jnp.float32) - 0.05 * v.astype(jnp.float32)).astype(
+            x.dtype
+        )
+        return x1, cache
+
+    with mesh:
+        x1, cache = jax.jit(step)(params, latents, txt, pooled)
+        (x1, cache) = jax.block_until_ready((x1, cache))
+
+    assert np.isfinite(np.asarray(x1, dtype=np.float32)).all(), "non-finite!"
+    pm = cache["single_proj_mlp_0"]
+    assert pm.shape == (b, config.text_len + gh * gw, config.dim * 4)
+    assert pm.sharding.spec == P("dp", None, "tp"), pm.sharding
+    attn0 = cache["full_attn_0"][0]
+    assert attn0.sharding.spec[0] == "dp", attn0.sharding
+    print(
+        json.dumps(
+            {
+                "metric": "flux_full_width_cpu_mesh_step",
+                "value": 1,
+                "unit": "denoise_steps",
+                "detail": {
+                    "mesh": "dp=2 x tp=4 (virtual CPU x8)",
+                    "params_B": round(n_params / 1e9, 3),
+                    "out_shape": list(x1.shape),
+                    "proj_mlp_cache_spec": str(pm.sharding.spec),
+                    "finite": True,
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+def stage_aot() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ecad_tpu.models.flux import FluxConfig, FluxTransformer
+    from ecad_tpu.parallel import param_shardings
+    from ecad_tpu.pipelines.flux_pipeline import (
+        FluxPipeline,
+        FluxPipelineConfig,
+    )
+
+    topo = topologies.get_topology_desc(platform="tpu")
+    devs = topo.devices
+    assert len(devs) >= 8, f"topology has {len(devs)} devices"
+    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("dp", "tp"))
+
+    config = FluxConfig()
+    model = FluxTransformer(config)
+
+    def init_fn(key):
+        latents = jnp.zeros((1, 16, config.in_channels), config.dtype)
+        txt = jnp.zeros((1, config.text_len, config.joint_dim), config.dtype)
+        pooled = jnp.zeros((1, config.pooled_dim), config.dtype)
+        t = jnp.zeros((1,), jnp.float32)
+        g = jnp.ones((1,), jnp.float32)
+        from ecad_tpu.models.flux import full_flux_mask
+
+        return model.init(
+            key, latents, txt, pooled, t, g, {}, full_flux_mask(config), (4, 4)
+        )["params"]
+
+    abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    shardings = param_shardings(abstract, mesh)
+    shardings = nn.meta.unbox(shardings)
+    abstract_plain = jax.tree.map(
+        lambda sds, sh: jax.ShapeDtypeStruct(
+            sds.shape, jnp.bfloat16, sharding=sh
+        ),
+        nn.meta.unbox(abstract),
+        shardings,
+    )
+
+    # the dynamic-mode (lax.cond, dense-cache) 20-step 1024² denoise — the
+    # worst-case HBM program from docs/flux_hbm_accounting.md
+    pcfg = FluxPipelineConfig(
+        model=config, num_inference_steps=20, height=1024, width=1024
+    )
+    pipe = FluxPipeline(pcfg, params=None)
+    from ecad_tpu.pipelines.flux_pipeline import FluxPopulationDenoiser
+
+    denoiser = FluxPopulationDenoiser(pipe)
+    fn = denoiser._build()  # the jitted scan program
+
+    b = 2  # one image per dp shard
+    bsh = NamedSharding(mesh, P("dp"))
+    rsh = NamedSharding(mesh, P())
+    n_slots = config.num_blocks + config.num_single_blocks
+    masks = jax.ShapeDtypeStruct((20, n_slots, 3), jnp.bool_, sharding=rsh)
+    noise = jax.ShapeDtypeStruct(
+        (b, pcfg.image_seq_len, config.in_channels), config.dtype,
+        sharding=bsh,
+    )
+    txt = jax.ShapeDtypeStruct(
+        (b, config.text_len, config.joint_dim), config.dtype, sharding=bsh
+    )
+    pooled = jax.ShapeDtypeStruct(
+        (b, config.pooled_dim), config.dtype, sharding=bsh
+    )
+
+    with mesh:
+        lowered = fn.lower(abstract_plain, masks, noise, txt, pooled)
+        print("lowered; compiling for v5e-8...", flush=True)
+        compiled = lowered.compile()
+    ma = compiled.memory_analysis()
+    result = {
+        "metric": "flux_full_width_v5e8_aot_bytes_per_chip",
+        "value": round(
+            (
+                ma.argument_size_in_bytes
+                + ma.output_size_in_bytes
+                + ma.temp_size_in_bytes
+            )
+            / GIB,
+            3,
+        ),
+        "unit": "GiB",
+        "detail": {
+            "mesh": "dp=2 x tp=4 (v5e-8 topology, AOT)",
+            "program": "dynamic-mode 20-step 1024^2 denoise (lax.cond, "
+            "dense cache), batch 1/dp shard",
+            "argument_GiB": round(ma.argument_size_in_bytes / GIB, 3),
+            "output_GiB": round(ma.output_size_in_bytes / GIB, 3),
+            "temp_GiB": round(ma.temp_size_in_bytes / GIB, 3),
+            "generated_code_MiB": round(
+                ma.generated_code_size_in_bytes / 1024**2, 1
+            ),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    stage = sys.argv[1] if len(sys.argv) > 1 else "cpu"
+    if stage == "cpu":
+        stage_cpu()
+    elif stage == "aot":
+        stage_aot()
+    else:
+        raise SystemExit(f"unknown stage {stage!r}")

@@ -56,9 +56,10 @@ def test_modulated_layer_norm_matches_reference():
 
 
 class TestFlashAttention:
-    """KV-blocked streaming path for long sequences (FLUX-1024's 4608
-    joint tokens). Interpreter mode; tiny block sizes force multiple kv
-    steps so the online-softmax recurrence is actually exercised."""
+    """KV-blocked streaming path for long sequences. Interpreter mode;
+    tiny block sizes force multiple kv steps so the online-softmax
+    recurrence is actually exercised (_ROWBLOCK_MAX_KV_ELEMS=0 keeps the
+    single-pass row-block kernel from short-circuiting it)."""
 
     def _run(self, tq, tk, d, bias=None, b=2, h=2):
         from ecad_tpu.ops import attention as A
@@ -76,6 +77,7 @@ class TestFlashAttention:
     def test_multiblock_kv(self, monkeypatch):
         from ecad_tpu.ops import attention as A
 
+        monkeypatch.setattr(A, "_ROWBLOCK_MAX_KV_ELEMS", 0)
         monkeypatch.setattr(A, "_FLASH_BLOCK_Q", 16)
         monkeypatch.setattr(A, "_FLASH_BLOCK_K", 128)
         self._run(tq=48, tk=384, d=64)
@@ -83,6 +85,7 @@ class TestFlashAttention:
     def test_unaligned_tk_padding_masked(self, monkeypatch):
         from ecad_tpu.ops import attention as A
 
+        monkeypatch.setattr(A, "_ROWBLOCK_MAX_KV_ELEMS", 0)
         monkeypatch.setattr(A, "_FLASH_BLOCK_Q", 16)
         monkeypatch.setattr(A, "_FLASH_BLOCK_K", 128)
         # tk=300 pads to 384 → the last kv block is half padding; exact
@@ -92,6 +95,7 @@ class TestFlashAttention:
     def test_key_padding_bias(self, monkeypatch):
         from ecad_tpu.ops import attention as A
 
+        monkeypatch.setattr(A, "_ROWBLOCK_MAX_KV_ELEMS", 0)
         monkeypatch.setattr(A, "_FLASH_BLOCK_Q", 16)
         monkeypatch.setattr(A, "_FLASH_BLOCK_K", 128)
         b, tk = 2, 256
@@ -99,6 +103,88 @@ class TestFlashAttention:
             jnp.arange(tk)[None, None, None, :] < 120, 0.0, -1e9
         ) * jnp.ones((b, 1, 1, tk))
         self._run(tq=32, tk=tk, d=64, bias=bias, b=b)
+
+    def test_batch_broadcast_bias(self, monkeypatch):
+        """A (1, 1, 1, Tk) bias with B>1 — allowed by the
+        jax.nn.dot_product_attention broadcasting contract — must be
+        broadcast to the real batch before the pallas_call (bias_index
+        maps grid step i to batch i//h; reading block i//h>0 from a
+        size-1 batch dim is silent garbage)."""
+        from ecad_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_ROWBLOCK_MAX_KV_ELEMS", 0)
+        monkeypatch.setattr(A, "_FLASH_BLOCK_Q", 16)
+        monkeypatch.setattr(A, "_FLASH_BLOCK_K", 128)
+        tk = 256
+        bias = jnp.where(
+            jnp.arange(tk)[None, None, None, :] < 100, 0.0, -1e9
+        )  # shape (1, 1, 1, tk), batch-broadcast
+        self._run(tq=32, tk=tk, d=64, bias=bias, b=3)
+
+
+class TestRowBlockAttention:
+    """Single-pass long-sequence kernel (whole key sequence VMEM-resident,
+    exp2 softmax with the scale·log2e prefold). Small _ROWBLOCK_BLOCK_Q
+    forces multiple q-blocks per (batch, head)."""
+
+    def _run(self, tq, tk, d, bias=None, b=2, h=2):
+        from ecad_tpu.ops import attention as A
+
+        keys = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(keys[0], (b, tq, h, d))
+        k = jax.random.normal(keys[1], (b, tk, h, d))
+        v = jax.random.normal(keys[2], (b, tk, h, d))
+        want = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        got = A._rowblock_attention(q, k, v, bias, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    def test_multiblock_q(self, monkeypatch):
+        from ecad_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_ROWBLOCK_BLOCK_Q", 16)
+        self._run(tq=48, tk=384, d=64)
+
+    def test_unaligned_shapes_padding_masked(self, monkeypatch):
+        from ecad_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_ROWBLOCK_BLOCK_Q", 16)
+        self._run(tq=30, tk=300, d=72)  # D72: the PixArt lane-pad case
+
+    def test_key_padding_bias_batch_broadcast(self, monkeypatch):
+        from ecad_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_ROWBLOCK_BLOCK_Q", 16)
+        tk = 256
+        bias = jnp.where(
+            jnp.arange(tk)[None, None, None, :] < 100, 0.0, -1e9
+        )  # (1, 1, 1, tk) broadcast over b=3
+        self._run(tq=32, tk=tk, d=64, bias=bias, b=3)
+
+    def test_flash_attention_routes_to_rowblock(self, monkeypatch):
+        """_flash_attention dispatches VMEM-resident key sequences to the
+        single-pass kernel."""
+        from ecad_tpu.ops import attention as A
+
+        called = {}
+        real = A._rowblock_attention
+
+        def spy(q, k, v, bias, interpret):
+            called["rowblock"] = True
+            return real(q, k, v, bias, interpret)
+
+        monkeypatch.setattr(A, "_rowblock_attention", spy)
+        keys = jax.random.split(jax.random.PRNGKey(8), 3)
+        q = jax.random.normal(keys[0], (1, 64, 2, 32))
+        k = jax.random.normal(keys[1], (1, 256, 2, 32))
+        v = jax.random.normal(keys[2], (1, 256, 2, 32))
+        want = jax.nn.dot_product_attention(q, k, v)
+        got = A._flash_attention(q, k, v, None, interpret=True)
+        assert called.get("rowblock")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
 
     def test_dispatch_thresholds(self, monkeypatch):
         """fused_attention routes big score tiles to the flash path and
@@ -138,6 +224,20 @@ class TestFlashAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
         )
+
+
+def test_flash_bias_ok_helper():
+    """The shared predicate accepts None / (B,1,1,Tk) / (1,1,1,Tk) and
+    rejects dense or mismatched-batch biases."""
+    from ecad_tpu.ops.attention import _flash_bias_ok
+
+    assert _flash_bias_ok(None, 4)
+    assert _flash_bias_ok(jnp.zeros((4, 1, 1, 64)), 4)
+    assert _flash_bias_ok(jnp.zeros((1, 1, 1, 64)), 4)
+    assert not _flash_bias_ok(jnp.zeros((2, 1, 1, 64)), 4)  # B mismatch
+    assert not _flash_bias_ok(jnp.zeros((4, 2, 1, 64)), 4)  # per-head
+    assert not _flash_bias_ok(jnp.zeros((4, 1, 8, 64)), 4)  # per-query
+    assert not _flash_bias_ok(jnp.zeros((1, 64)), 4)  # wrong rank
 
 
 def test_auto_flash_predicate():
