@@ -26,7 +26,7 @@ import numpy as np
 
 from ..models.pixart import schedule_step_masks
 from ..pipelines import PixArtPipeline, SharedModelStepper
-from ..scoring import get_scorer
+from ..scoring import get_scorer, merge_scores
 from .population_io import PopulationIOManager
 
 
@@ -59,6 +59,12 @@ class EvalConfig:
     #   caches sharded over a mesh (tp/dp) or mode="stepwise", whose
     #   specialized programs only materialize the caches a schedule reuses.
     mode: str = "dynamic"
+    # False: skip gathering decoded images to the host — scoring happens
+    # per chunk (on device when decode_fn returns device arrays and the
+    # scorer accepts them, e.g. ImageRewardScorer), and evaluate_candidate
+    # returns (scores, None). The search loop only needs scores; pulling
+    # pop × 1000 × 256² uint8 through the host is pure overhead there.
+    return_images: bool = True
 
 
 class CandidateEvaluator:
@@ -153,16 +159,23 @@ class CandidateEvaluator:
         noise, text, neg, prompts, ids = self._noise_batch()
         scorer = get_scorer(self.config.scorer)
         bs = self.config.batch_size or len(prompts)
-        imgs_all = []
+        imgs_all, score_chunks = [], []
         for lo in range(0, len(prompts), bs):
             hi = min(lo + bs, len(prompts))
             n_b, t_b, g_b = self._shard(
                 noise[lo:hi], text[lo:hi], neg[lo:hi]
             )
             latents = denoise(masks, n_b, t_b, g_b)
-            imgs_all.append(self.decode_fn(latents))
-        images = np.concatenate(imgs_all)
-        return scorer(images, prompts, ids), images
+            imgs = self.decode_fn(latents)
+            # score per chunk: with a device decode_fn + device-capable
+            # scorer the whole denoise→decode→score chain stays on chip
+            score_chunks.append(scorer(imgs, prompts[lo:hi], ids[lo:hi]))
+            if self.config.return_images:
+                imgs_all.append(np.asarray(imgs))
+        scores = merge_scores(score_chunks)
+        if not self.config.return_images:
+            return scores, None
+        return scores, np.concatenate(imgs_all)
 
     def _schedule_masks(self, schedule):
         return schedule_step_masks(schedule, self.pipeline.config.model)
@@ -276,7 +289,7 @@ class FluxCandidateEvaluator(CandidateEvaluator):
 
     def _evaluate_candidate(self, schedule):
         from ..models.flux import unpack_latents
-        from ..scoring import get_scorer
+        from ..scoring import get_scorer, merge_scores
 
         if self.config.mode == "dynamic":
             c = self.pipeline.config.model
@@ -293,15 +306,18 @@ class FluxCandidateEvaluator(CandidateEvaluator):
         scorer = get_scorer(self.config.scorer)
         bs = self.config.batch_size or len(prompts)
         gh, gw = self.pipeline.config.grid_hw
-        imgs_all = []
+        imgs_all, score_chunks = [], []
         for lo in range(0, len(prompts), bs):
             hi = min(lo + bs, len(prompts))
             n_b, t_b, p_b = self._shard(
                 noise[lo:hi], text[lo:hi], pooled[lo:hi]
             )
             packed = denoise(masks, n_b, t_b, p_b)
-            imgs_all.append(
-                self.decode_fn(unpack_latents(packed, gh, gw))
-            )
-        images = np.concatenate(imgs_all)
-        return scorer(images, prompts, ids), images
+            imgs = self.decode_fn(unpack_latents(packed, gh, gw))
+            score_chunks.append(scorer(imgs, prompts[lo:hi], ids[lo:hi]))
+            if self.config.return_images:
+                imgs_all.append(np.asarray(imgs))
+        scores = merge_scores(score_chunks)
+        if not self.config.return_images:
+            return scores, None
+        return scores, np.concatenate(imgs_all)

@@ -106,11 +106,18 @@ _LOG2E = 1.4426950408889634
 # Row-block single-pass kernel: when the whole (padded) key sequence fits
 # VMEM next to one q-block's fp32 score tile, the online-softmax
 # recurrence is pure overhead — one grid step per (batch·head, q-block)
-# computes exact softmax rows with no m/l scratch and no rescale. The
-# DiT shapes this framework serves all qualify (FLUX-1024: 4608×128,
+# computes exact softmax rows with no m/l scratch and no carried rescale.
+# The DiT shapes this framework serves all qualify (FLUX-1024: 4608×128,
 # PixArt-1024: 4096×128-padded); the streaming kernel remains for longer
 # sequences. Threshold in k-elements (tk_pad × d_pad).
-_ROWBLOCK_BLOCK_Q = 256
+#
+# The kernel processes kv in TWO in-body chunks: chunk 0's softmax (VPU
+# max/exp passes) has no data dependency on chunk 1's score matmul (MXU),
+# so the scheduler dual-issues them. Measured on v5e at B2H24T4608D128
+# (scripts/exp_attn_variants.py): matmul-only floor 3.28 ms, one-chunk
+# 4.65 ms (the serial max pass costs ~1.3 ms), two-chunk 3.68 ms — vs
+# 4.66 ms for the streaming flash kernel and 30.9 ms for XLA.
+_ROWBLOCK_BLOCK_Q = 512
 _ROWBLOCK_MAX_KV_ELEMS = 8192 * 128
 
 
@@ -163,26 +170,49 @@ def _flash_kernel(
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
-def _rowblock_kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
+def _rowblock_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, chunks):
     """One (batch·head, q-block) grid step: full-softmax rows against the
     entire key sequence resident in VMEM. q arrives pre-scaled by
     softmax_scale·log2(e) and the bias pre-scaled by log2(e), so the
     softmax uses exp2 directly — exp lowers to exp2 plus a multiply on
     the VPU, and at Tq×Tk = 21M score elements per (batch, head) the
-    transcendental is a first-order cost."""
-    s = jax.lax.dot_general(
-        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (bq, tk_pad) fp32
-    s = s + b_ref[0]  # (1, tk_pad) log2-domain bias broadcasts over rows
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = (pv / denom).astype(o_ref.dtype)
+    transcendental is a first-order cost.
+
+    `chunks` is a static list of (lo, hi) kv column ranges, unrolled
+    in-body: chunk i's VPU softmax has no dependency on chunk i+1's MXU
+    score matmul, so the two units dual-issue (see module constants for
+    measured effect). Per-chunk maxima are combined exactly at the end —
+    a fixed O(bq) rescale, not a carried recurrence."""
+    q = q_ref[0]
+    ms, ps, sums, pvs = [], [], [], []
+    for lo, hi in chunks:
+        s = jax.lax.dot_general(
+            q, k_ref[0, lo:hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, hi-lo) fp32
+        s = s + b_ref[0, :, lo:hi]  # (1, hi-lo) broadcasts over rows
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        ms.append(m)
+        ps.append(p)
+        sums.append(jnp.sum(p, axis=-1, keepdims=True))
+        pvs.append(
+            jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, lo:hi],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    m_all = ms[0]
+    for m in ms[1:]:
+        m_all = jnp.maximum(m_all, m)
+    denom = jnp.zeros_like(sums[0])
+    acc = jnp.zeros_like(pvs[0])
+    for m, sm, pv in zip(ms, sums, pvs):
+        a = jnp.exp2(m - m_all)
+        denom = denom + a * sm
+        acc = acc + a * pv
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
 def _rowblock_attention(
@@ -236,11 +266,18 @@ def _rowblock_attention(
             f" got shape {bias.shape}"
         )
 
+    # two kv chunks for MXU/VPU dual-issue (one when the sequence is too
+    # short to split on 128-lane boundaries)
+    half = _round_up(tk_pad // 2, 128)
+    chunks = (
+        [(0, half), (half, tk_pad)] if 0 < half < tk_pad else [(0, tk_pad)]
+    )
+
     # qi innermost: k/v index maps are constant in qi, so Pallas keeps
     # them VMEM-resident across all q-blocks of one (batch·head)
     grid = (b * h, tq_pad // bq)
     out = pl.pallas_call(
-        _rowblock_kernel,
+        functools.partial(_rowblock_kernel, chunks=chunks),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

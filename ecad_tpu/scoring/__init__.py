@@ -72,6 +72,23 @@ def mock_scorer(
     return _aggregate(np.array(per_image), prompts, prompt_ids)
 
 
+def merge_scores(chunks: Sequence[dict]) -> dict:
+    """Merge per-chunk scorer outputs (the scores.json payload shape) into
+    one aggregate — used by the evaluator's chunked scoring path so images
+    can be scored batch-by-batch on device instead of being gathered to
+    the host first."""
+    by_prompt: dict[str, list[float]] = {}
+    for c in chunks:
+        for pid, vals in c["score_by_prompt_id"].items():
+            by_prompt.setdefault(pid, []).extend(float(v) for v in vals)
+    avg_by_prompt = {pid: float(np.mean(v)) for pid, v in by_prompt.items()}
+    return {
+        "total_score": float(np.mean(list(avg_by_prompt.values()))),
+        "avg_by_prompt": avg_by_prompt,
+        "score_by_prompt_id": by_prompt,
+    }
+
+
 def get_scorer(name: str | None = None) -> Scorer:
     if name in ("image_reward", "clip") and name not in ScorerRegistry:
         # lazily import weight-backed scorers so the registry stays usable

@@ -270,7 +270,7 @@ class ImageRewardScorer:
             list(prompts), padding="max_length", truncation=True,
             max_length=35, return_tensors="np",
         )
-        px = self.preprocess(np.asarray(images))
+        px = self.preprocess(images)
         scores = self._score(
             self.params, px,
             jnp.asarray(toks["input_ids"]),

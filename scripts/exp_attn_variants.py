@@ -179,8 +179,12 @@ VARIANTS = {
 
 
 def main() -> None:
-    bqs = [int(x) for x in sys.argv[1:]] or [256, 512]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = [a.split("=")[1] for a in sys.argv[1:] if a.startswith("--shape=")]
+    bqs = [int(x) for x in args] or [256, 512]
     for name, s in SHAPES.items():
+        if only and name not in only:
+            continue
         keys = jax.random.split(jax.random.PRNGKey(0), 3)
         mk = lambda key: (  # noqa: E731
             jax.random.normal(key, (s["b"], s["t"], s["h"], s["d"])).astype(
@@ -188,7 +192,12 @@ def main() -> None:
             )
         )
         q, k, v = mk(keys[0]), mk(keys[1]), mk(keys[2])
-        ref = jax.nn.dot_product_attention(q, k, v)
+        # error reference on a 2-head slice: the full (B,H,T,T) logits at
+        # the PixArt shape are 8.6 GB — the full-shape XLA call OOMs a
+        # 16 GB chip next to the benchmark buffers
+        ref = jax.nn.dot_product_attention(
+            q[:, :, :2], k[:, :, :2], v[:, :, :2]
+        )
         bench.sync(ref)
         for bq in bqs:
             for label, (kernel, prescale) in VARIANTS.items():
@@ -204,7 +213,8 @@ def main() -> None:
                 e = (
                     float(
                         jnp.abs(
-                            out.astype(jnp.float32) - ref.astype(jnp.float32)
+                            out[:, :, :2].astype(jnp.float32)
+                            - ref.astype(jnp.float32)
                         ).max()
                     )
                     if label != "matmul_only"

@@ -75,13 +75,20 @@ def build_bf16_params(config):
 
 
 def stage_cpu() -> None:
-    import jax
-
-    if len(jax.devices()) < 8:
+    """Bootstrap note: the axon platform plugin overrides the JAX_PLATFORMS
+    env var, so (exactly like __graft_entry__.dryrun_multichip) the child
+    must call jax.config.update('jax_platforms', 'cpu') in-process before
+    touching devices; env vars alone leave you on the single TPU. The
+    ECAD_FW_CHILD sentinel makes a failed bootstrap a hard error instead
+    of a respawn loop. The parent NEVER imports jax: creating an axon
+    client just to count devices would hold the exclusive TPU tunnel for
+    the whole CPU run."""
+    if not os.environ.get("ECAD_FW_CHILD"):
         import re
         import subprocess
 
         env = dict(os.environ)
+        env["ECAD_FW_CHILD"] = "1"
         env["JAX_PLATFORMS"] = "cpu"
         flags = re.sub(
             r"--xla_force_host_platform_device_count=\d+",
@@ -91,10 +98,23 @@ def stage_cpu() -> None:
         env["XLA_FLAGS"] = (
             f"{flags} --xla_force_host_platform_device_count=8".strip()
         )
+        code = (
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import runpy, sys\n"
+            f"sys.argv = [{os.path.abspath(__file__)!r}, 'cpu']\n"
+            f"runpy.run_path({os.path.abspath(__file__)!r}, "
+            "run_name='__main__')\n"
+        )
         raise SystemExit(
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "cpu"], env=env
-            ).returncode
+            subprocess.run([sys.executable, "-c", code], env=env).returncode
+        )
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        raise SystemExit(
+            f"bootstrap failed: child sees {len(jax.devices())} devices"
         )
 
     import jax.numpy as jnp
@@ -280,11 +300,16 @@ def stage_aot() -> None:
     print(json.dumps(result), flush=True)
 
 
-if __name__ == "__main__":
-    stage = sys.argv[1] if len(sys.argv) > 1 else "cpu"
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    stage = argv[0] if argv else "cpu"
     if stage == "cpu":
         stage_cpu()
     elif stage == "aot":
         stage_aot()
     else:
         raise SystemExit(f"unknown stage {stage!r}")
+
+
+if __name__ == "__main__":
+    main()
