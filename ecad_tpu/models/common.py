@@ -198,16 +198,19 @@ if _os.environ.get("ECAD_ATTENTION_BACKEND"):
 
 
 def _auto_flash(q, k, bias) -> bool:
-    """Route long-sequence attention to the Pallas flash kernel even on
-    the default XLA backend when it is a measured win: score tile beyond
-    the single-tile VMEM budget, lane-aligned head dim (128-multiple — at
-    D72 the 72→128 pad costs more than the fusion saves: 13.7 vs 12.4 ms
-    at the PixArt-1024 shape, while D128 FLUX-1024 measures 6.0 vs
-    32.3 ms), and a flash-compatible (None or key-padding) bias."""
+    """Route long-sequence attention to the Pallas kernels even on the
+    default XLA backend when it is a measured win: score tile beyond the
+    single-tile VMEM budget and a flash-compatible (None or key-padding)
+    bias. The chunked row-block kernel wins for ANY head dim when the key
+    sequence fits VMEM — including the lane-padded D72 PixArt-1024 shape
+    (9.27 vs 12.4 ms XLA at B8H16T4096D72; the r2 online-softmax kernel
+    lost that regime at 13.7 ms) and D128 FLUX-1024 (3.68 vs 30.9 ms).
+    Beyond VMEM-resident kv the streaming kernel still requires a
+    128-multiple head dim (unmeasured at D72, and no served shape hits
+    it)."""
     d = q.shape[-1]
-    if d % 128 != 0:
-        return False
     from ..ops.attention import (
+        _ROWBLOCK_MAX_KV_ELEMS,
         _SINGLE_TILE_SCORE_BYTES,
         _flash_bias_ok,
         _round_up,
@@ -216,6 +219,9 @@ def _auto_flash(q, k, bias) -> bool:
     tq = _round_up(q.shape[1], 8)
     tk = _round_up(k.shape[1], 128)
     if tq * tk * 4 <= _SINGLE_TILE_SCORE_BYTES:
+        return False
+    rowblock_ok = tk * _round_up(d, 128) <= _ROWBLOCK_MAX_KV_ELEMS
+    if not rowblock_ok and d % 128 != 0:
         return False
     return _flash_bias_ok(bias, q.shape[0])
 

@@ -113,11 +113,18 @@ _LOG2E = 1.4426950408889634
 #
 # The kernel processes kv in TWO in-body chunks: chunk 0's softmax (VPU
 # max/exp passes) has no data dependency on chunk 1's score matmul (MXU),
-# so the scheduler dual-issues them. Measured on v5e at B2H24T4608D128
-# (scripts/exp_attn_variants.py): matmul-only floor 3.28 ms, one-chunk
-# 4.65 ms (the serial max pass costs ~1.3 ms), two-chunk 3.68 ms — vs
-# 4.66 ms for the streaming flash kernel and 30.9 ms for XLA.
+# so the scheduler dual-issues them. Measured on v5e
+# (scripts/exp_attn_variants.py, scripts/bench_attention_kernels.py):
+#   B2H24T4608D128 (FLUX-1024): matmul-only floor 3.28 ms; one-chunk
+#     4.65 ms (the serial max pass costs ~1.3 ms); shipped chunked
+#     no-bias kernel 3.94 ms — vs 4.69 ms streaming flash, 30.9 ms XLA.
+#   B8H16T4096D72 (PixArt-1024): 8.93 ms at bq=256 — vs 11.9 ms
+#     streaming flash and 11.3 ms XLA (the r2 kernel lost this regime;
+#     the chunked kernel wins it despite the 72→128 lane pad).
+# bq: 512 suits lane-aligned D; 256 measures better when D is padded
+# (smaller score tiles compensate the pad's extra VMEM pressure).
 _ROWBLOCK_BLOCK_Q = 512
+_ROWBLOCK_BLOCK_Q_PADDED_D = 256
 _ROWBLOCK_MAX_KV_ELEMS = 8192 * 128
 
 
@@ -170,31 +177,23 @@ def _flash_kernel(
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
-def _rowblock_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, chunks):
-    """One (batch·head, q-block) grid step: full-softmax rows against the
-    entire key sequence resident in VMEM. q arrives pre-scaled by
-    softmax_scale·log2(e) and the bias pre-scaled by log2(e), so the
-    softmax uses exp2 directly — exp lowers to exp2 plus a multiply on
-    the VPU, and at Tq×Tk = 21M score elements per (batch, head) the
-    transcendental is a first-order cost.
-
-    `chunks` is a static list of (lo, hi) kv column ranges, unrolled
-    in-body: chunk i's VPU softmax has no dependency on chunk i+1's MXU
-    score matmul, so the two units dual-issue (see module constants for
-    measured effect). Per-chunk maxima are combined exactly at the end —
-    a fixed O(bq) rescale, not a carried recurrence."""
+def _rowblock_compute(q_ref, k_ref, v_ref, o_ref, chunks, bias_slice):
+    """Shared math for the chunked row-block kernels. `bias_slice(lo, hi)`
+    returns the log2-domain additive bias row for a kv chunk, or None for
+    the no-bias fast path."""
     q = q_ref[0]
-    ms, ps, sums, pvs = [], [], [], []
+    ms, sums, pvs = [], [], []
     for lo, hi in chunks:
         s = jax.lax.dot_general(
             q, k_ref[0, lo:hi], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, hi-lo) fp32
-        s = s + b_ref[0, :, lo:hi]  # (1, hi-lo) broadcasts over rows
+        b = bias_slice(lo, hi)
+        if b is not None:
+            s = s + b  # (1, hi-lo) broadcasts over rows
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
         ms.append(m)
-        ps.append(p)
         sums.append(jnp.sum(p, axis=-1, keepdims=True))
         pvs.append(
             jax.lax.dot_general(
@@ -215,6 +214,36 @@ def _rowblock_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, chunks):
     o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
+def _rowblock_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, chunks):
+    """One (batch-head, q-block) grid step: full-softmax rows against the
+    entire key sequence resident in VMEM. q arrives pre-scaled by
+    softmax_scale*log2(e) and the bias pre-scaled by log2(e), so the
+    softmax uses exp2 directly (exp lowers to exp2 plus a multiply on the
+    VPU, and at Tq x Tk = 21M score elements per (batch, head) the
+    transcendental is a first-order cost).
+
+    `chunks` is a static list of (lo, hi) kv column ranges, unrolled
+    in-body: chunk i's VPU softmax has no dependency on chunk i+1's MXU
+    score matmul, so the two units dual-issue (see module constants for
+    measured effect). Per-chunk maxima are combined exactly at the end --
+    a fixed O(bq) rescale, not a carried recurrence."""
+    _rowblock_compute(
+        q_ref, k_ref, v_ref, o_ref, chunks,
+        lambda lo, hi: b_ref[0, :, lo:hi],
+    )
+
+
+def _rowblock_kernel_nobias(q_ref, k_ref, v_ref, o_ref, *, chunks):
+    """_rowblock_kernel without the bias operand: when bias is None and
+    Tk is already a 128-multiple (both hot shapes: FLUX-1024's 4608 and
+    PixArt-1024's 4096) the (1, tk) add is a full VPU pass over every
+    score tile for nothing -- measured ~0.75 ms at B2H24T4608D128
+    (4.42 ms with the all-zero add vs 3.68 ms without)."""
+    _rowblock_compute(
+        q_ref, k_ref, v_ref, o_ref, chunks, lambda lo, hi: None
+    )
+
+
 def _rowblock_attention(
     q: jax.Array,
     k: jax.Array,
@@ -232,7 +261,10 @@ def _rowblock_attention(
     scale = _LOG2E / float(np.sqrt(d))
 
     d_pad = _round_up(d, 128)
-    bq = min(_ROWBLOCK_BLOCK_Q, _round_up(tq, 8))
+    block_q = (
+        _ROWBLOCK_BLOCK_Q if d == d_pad else _ROWBLOCK_BLOCK_Q_PADDED_D
+    )
+    bq = min(block_q, _round_up(tq, 8))
     tq_pad = _round_up(tq, bq)
     tk_pad = _round_up(tk, 128)
 
@@ -244,6 +276,52 @@ def _rowblock_attention(
     qp = qp * jnp.asarray(scale, qp.dtype)  # prefold scale·log2e into q
     kp = pad(k, tk_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
     vp = pad(v, tk_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
+
+    # two kv chunks for MXU/VPU dual-issue (one when the sequence is too
+    # short to split on 128-lane boundaries)
+    half = _round_up(tk_pad // 2, 128)
+    chunks = (
+        [(0, half), (half, tk_pad)] if 0 < half < tk_pad else [(0, tk_pad)]
+    )
+    # qi innermost: k/v index maps are constant in qi, so Pallas keeps
+    # them VMEM-resident across all q-blocks of one (batch·head)
+    grid = (b * h, tq_pad // bq)
+    common = dict(
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), q.dtype),
+        out_specs=pl.BlockSpec(
+            (1, bq, d_pad),
+            lambda i, qi: (i, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )
+    qkv_specs = [
+        pl.BlockSpec(
+            (1, bq, d_pad), lambda i, qi: (i, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, tk_pad, d_pad), lambda i, qi: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, tk_pad, d_pad), lambda i, qi: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+
+    if bias is None and tk == tk_pad:
+        # fast path: no bias operand at all — the all-zero (1, tk) add is
+        # a full VPU pass over every score tile (~0.75 ms at the FLUX-1024
+        # shape), and both hot shapes are already 128-aligned
+        out = pl.pallas_call(
+            functools.partial(_rowblock_kernel_nobias, chunks=chunks),
+            in_specs=qkv_specs,
+            **common,
+        )(qp, kp, vp)
+        out = out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
+        return out.transpose(0, 2, 1, 3)
 
     pad_bias = jnp.where(jnp.arange(tk_pad) < tk, 0.0, _NEG_INF).astype(
         jnp.float32
@@ -266,44 +344,11 @@ def _rowblock_attention(
             f" got shape {bias.shape}"
         )
 
-    # two kv chunks for MXU/VPU dual-issue (one when the sequence is too
-    # short to split on 128-lane boundaries)
-    half = _round_up(tk_pad // 2, 128)
-    chunks = (
-        [(0, half), (half, tk_pad)] if 0 < half < tk_pad else [(0, tk_pad)]
-    )
-
-    # qi innermost: k/v index maps are constant in qi, so Pallas keeps
-    # them VMEM-resident across all q-blocks of one (batch·head)
-    grid = (b * h, tq_pad // bq)
     out = pl.pallas_call(
         functools.partial(_rowblock_kernel, chunks=chunks),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, bq, d_pad),
-                lambda i, qi: (i, qi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tk_pad, d_pad),
-                lambda i, qi: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tk_pad, d_pad),
-                lambda i, qi: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, 1, tk_pad), bias_index, memory_space=pltpu.VMEM),
-        ],
-        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d_pad), q.dtype),
-        out_specs=pl.BlockSpec(
-            (1, bq, d_pad),
-            lambda i, qi: (i, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        interpret=interpret,
+        in_specs=qkv_specs
+        + [pl.BlockSpec((1, 1, tk_pad), bias_index, memory_space=pltpu.VMEM)],
+        **common,
     )(qp, kp, vp, bias_arr)
     out = out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
     return out.transpose(0, 2, 1, 3)

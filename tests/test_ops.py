@@ -241,9 +241,11 @@ def test_flash_bias_ok_helper():
 
 
 def test_auto_flash_predicate():
-    """Backend-independent flash routing: long lane-aligned sequences only
-    (D%128==0; D72 measured slower through the pad), flash-compatible
-    bias, score tile beyond the single-tile budget."""
+    """Backend-independent kernel routing: any head dim when the key
+    sequence is VMEM-resident (the chunked row-block kernel wins D72 too:
+    9.27 vs 12.4 ms XLA at the PixArt-1024 shape), 128-multiple head dims
+    for the streaming regime, flash-compatible bias, score tile beyond
+    the single-tile budget."""
     from ecad_tpu.models.common import _auto_flash
 
     def arr(b, t, h, d):
@@ -251,8 +253,11 @@ def test_auto_flash_predicate():
 
     q128, k128 = arr(1, 4608, 2, 128), arr(1, 4608, 2, 128)
     assert _auto_flash(q128, k128, None)
-    # D72: lane padding not worth it
-    assert not _auto_flash(arr(1, 4096, 2, 72), arr(1, 4096, 2, 72), None)
+    # D72 long-seq: routed since round 3 (chunked row-block beats XLA)
+    assert _auto_flash(arr(1, 4096, 2, 72), arr(1, 4096, 2, 72), None)
+    # beyond VMEM-resident kv (streaming regime): D72 stays on XLA
+    assert not _auto_flash(arr(1, 16384, 2, 72), arr(1, 16384, 2, 72), None)
+    assert _auto_flash(arr(1, 16384, 2, 128), arr(1, 16384, 2, 128), None)
     # short sequence: single-tile/XLA territory
     assert not _auto_flash(arr(1, 768, 2, 128), arr(1, 768, 2, 128), None)
     # key-padding bias ok; dense bias not
