@@ -211,16 +211,26 @@ def main() -> None:
     )
     set_b = np.stack(gen2.generate_images(emb, 1))
 
+    noise_set = np.random.default_rng(7).integers(
+        0, 256, set_a.shape, dtype=np.uint8
+    )
     stats_a = FIDStats.from_images(set_a, extractor="inception_random")
     stats_b = FIDStats.from_images(set_b, extractor="inception_random")
+    stats_n = FIDStats.from_images(noise_set, extractor="inception_random")
     same = fid_between(stats_a, stats_a)
-    cross = fid_between(stats_a, stats_b)
-    assert np.isfinite(cross) and cross > 0 and abs(same) < 1e-6
+    same_dist = fid_between(stats_a, stats_b)
+    diff_dist = fid_between(stats_a, stats_n)
+    assert abs(same) < 1e-6
+    assert np.isfinite(same_dist) and np.isfinite(diff_dist)
+    # separation: same-distribution sets (different seeds) must score far
+    # closer than a different distribution (uniform noise)
+    assert diff_dist > 10 * max(same_dist, 1e-9), (same_dist, diff_dist)
     report(
-        "fid_e2e", round(float(cross), 4), "fid",
-        note=f"two {n_set}-image generated sets (different seeds) through "
-        "InceptionV3-FID features -> Frechet distance; self-FID "
-        f"{same:.2e} (exactness check)",
+        "fid_e2e", round(float(diff_dist), 4), "fid",
+        note=f"{n_set}-image generated set vs uniform-noise set through "
+        "InceptionV3-FID features -> Frechet distance; same-distribution "
+        f"control {same_dist:.2e} (≥10x separation asserted), self-FID "
+        f"{same:.2e}",
     )
 
 

@@ -38,6 +38,10 @@ _LOG2E = 1.4426950408889634
 SHAPES = {
     "flux1024": dict(b=2, h=24, t=4608, d=128),
     "pixart1024": dict(b=8, h=16, t=4096, d=72),
+    # the headline-bench self-attention shape (batch 32 × CFG 2): below
+    # the long-seq routing threshold today, served by XLA — measure
+    # whether the chunked row-block kernel should claim it too
+    "pixart256_self": dict(b=64, h=16, t=1024, d=72),
 }
 
 
