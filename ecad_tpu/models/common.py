@@ -226,6 +226,34 @@ def _auto_flash(q, k, bias) -> bool:
     return _flash_bias_ok(bias, q.shape[0])
 
 
+# Floor for auto-routing short no-bias attention to the single-tile
+# kernel: padded fp32 score-tile bytes. 1 MiB ≈ a 512² self-attention
+# tile — every measured shape at or above it wins on v5e
+# (scripts/exp_attn_pixart256.py): T1024 D72 8.38 vs 14.32 ms XLA,
+# T768 D128 1.08 vs 5.06 ms, T768 D64 0.33 vs 1.48 ms. Below the floor
+# kernel launch overhead and the tk→128 pad dominate and shapes are
+# cheap either way, so XLA keeps them.
+_AUTO_SINGLE_TILE_MIN_SCORE_BYTES = 1024 * 1024
+
+
+def _auto_single_tile(q, k, bias) -> bool:
+    """Route short/medium NO-BIAS attention (the DiT self-attention
+    shapes: PixArt-256's 1024 tokens, FLUX-256's 768) to the VMEM-
+    resident single-tile Pallas kernel on the default XLA backend. Biased
+    cross-attention stays on XLA: the one measured biased shape
+    (Tq1024→Tk120 key-padding) loses (3.88 vs 1.96 ms), and its cost is
+    marginal."""
+    if bias is not None:
+        return False
+    from ..ops.attention import _SINGLE_TILE_SCORE_BYTES, _round_up
+
+    score = _round_up(q.shape[1], 8) * _round_up(k.shape[1], 128) * 4
+    return (
+        _AUTO_SINGLE_TILE_MIN_SCORE_BYTES <= score
+        <= _SINGLE_TILE_SCORE_BYTES
+    )
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -239,10 +267,15 @@ def dot_product_attention(
         from ..ops.attention import fused_attention
 
         return fused_attention(q, k, v, bias=bias)
-    if jax.default_backend() == "tpu" and _auto_flash(q, k, bias):
-        from ..ops.attention import _flash_attention
+    if jax.default_backend() == "tpu":
+        if _auto_flash(q, k, bias):
+            from ..ops.attention import _flash_attention
 
-        return _flash_attention(q, k, v, bias, interpret=False)
+            return _flash_attention(q, k, v, bias, interpret=False)
+        if _auto_single_tile(q, k, bias):
+            from ..ops.attention import fused_attention
+
+            return fused_attention(q, k, v, bias=bias)
     return jax.nn.dot_product_attention(q, k, v, bias=bias)
 
 

@@ -84,6 +84,29 @@ def main() -> None:
         ),
         q, kx, vx, bias,
     )
+    # FLUX-256 self-attention shapes (256 packed latent + 512 text = 768
+    # tokens): full-width head dim 128, width-reduced (dim 1536) head dim
+    # 64 — measure whether the single-tile kernel should claim lane-
+    # aligned short sequences too, or only the D72 lane-padded regime
+    for d_f, tag in ((128, "flux256_fullwidth"), (64, "flux256_dim1536")):
+        bf, hf, tf = 8, 24, 768
+        kf = jax.random.split(jax.random.PRNGKey(1), 3)
+        mkf = lambda key: (  # noqa: E731
+            jax.random.normal(key, (bf, tf, hf, d_f)).astype(jnp.bfloat16)
+        )
+        qf, kk, vf = mkf(kf[0]), mkf(kf[1]), mkf(kf[2])
+        measure(
+            f"{tag}_self_xla",
+            lambda q, k, v: jax.nn.dot_product_attention(q, k, v),
+            qf, kk, vf,
+        )
+        measure(
+            f"{tag}_self_single_tile",
+            lambda q, k, v: A.fused_attention.__wrapped__(
+                q, k, v, None, False
+            ),
+            qf, kk, vf,
+        )
 
 
 if __name__ == "__main__":

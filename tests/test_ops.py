@@ -280,3 +280,43 @@ def test_auto_flash_dispatches_on_noncpu(monkeypatch):
     q = jnp.zeros((1, 4608, 2, 128), jnp.bfloat16)
     out = C.dot_product_attention(q, q, q)
     assert out is sentinel
+
+
+def test_auto_single_tile_predicate():
+    """No-bias short/medium self-attention routes to the single-tile
+    kernel (measured wins at T1024 D72, T768 D128, T768 D64 on v5e);
+    biased shapes and tiny tiles stay on XLA."""
+    from ecad_tpu.models.common import _auto_single_tile
+
+    def arr(b, t, h, d):
+        return jnp.zeros((b, t, h, d), jnp.bfloat16)
+
+    # the three measured winning shapes
+    assert _auto_single_tile(arr(64, 1024, 16, 72), arr(64, 1024, 16, 72),
+                             None)
+    assert _auto_single_tile(arr(8, 768, 24, 128), arr(8, 768, 24, 128),
+                             None)
+    assert _auto_single_tile(arr(8, 768, 24, 64), arr(8, 768, 24, 64), None)
+    # biased cross-attention: XLA keeps it (measured loss at Tk=120)
+    bias = jnp.zeros((64, 1, 1, 120))
+    assert not _auto_single_tile(arr(64, 1024, 16, 72),
+                                 arr(64, 120, 16, 72), bias)
+    # tiny tiles below the 1 MiB floor: XLA
+    assert not _auto_single_tile(arr(4, 256, 2, 64), arr(4, 256, 2, 64),
+                                 None)
+    # beyond the single-tile VMEM budget: _auto_flash territory, not this
+    assert not _auto_single_tile(arr(2, 4608, 24, 128),
+                                 arr(2, 4608, 24, 128), None)
+
+
+def test_auto_single_tile_dispatches_on_noncpu(monkeypatch):
+    import ecad_tpu.models.common as C
+    import ecad_tpu.ops.attention as A
+
+    sentinel = object()
+    monkeypatch.setattr(A, "fused_attention",
+                        lambda q, k, v, bias: sentinel)
+    monkeypatch.setattr(C.jax, "default_backend", lambda: "tpu")
+    q = jnp.zeros((8, 768, 24, 128), jnp.bfloat16)
+    out = C.dot_product_attention(q, q, q)
+    assert out is sentinel
