@@ -180,6 +180,46 @@ def serving_cast(params, dtype) -> Any:
     )
 
 
+def random_serving_params(
+    shape_tree, seed: int = 0, dtype=None, scale: float = 0.02
+) -> Any:
+    """Fill a parameter tree with random values *directly in the serving
+    dtype on device* — never materializing fp32 masters.
+
+    `shape_tree` is a `jax.eval_shape` result (ShapeDtypeStructs) of a
+    model's init; float leaves are filled with `N(0, scale)` in `dtype`
+    (default bfloat16), non-float leaves with zeros of their own dtype.
+    Rationale: `model.init` materializes fp32 masters on device and the
+    tunneled TPU backend does not reliably free them before a subsequent
+    cast, so a ~12 GB fp32 tree OOMs a 16 GB chip even when the bf16 copy
+    would fit. One filler program is compiled per distinct leaf shape
+    (~20 for FLUX). Benchmarks and schedule-search evals are wall-clock
+    measurements on random weights, so values are irrelevant; real
+    serving uses models/weights.py converters which load bf16 directly.
+    """
+    import functools
+
+    dtype = jnp.bfloat16 if dtype is None else dtype
+    leaves, treedef = jax.tree.flatten(shape_tree)
+    keys = jax.random.split(jax.random.PRNGKey(seed), max(len(leaves), 1))
+
+    @functools.lru_cache(maxsize=None)  # one program per distinct shape
+    def filler(shape, leaf_dtype):
+        if not jnp.issubdtype(leaf_dtype, jnp.floating):
+            return jax.jit(lambda k: jnp.zeros(shape, leaf_dtype))
+        return jax.jit(
+            lambda k: jax.random.normal(k, shape, dtype) * jnp.asarray(
+                scale, dtype
+            )
+        )
+
+    filled = [
+        filler(tuple(l.shape), jnp.dtype(l.dtype))(k)
+        for k, l in zip(keys, leaves)
+    ]
+    return jax.tree.unflatten(treedef, filled)
+
+
 def set_attention_backend(name: str) -> None:
     """Select the attention implementation: "xla"
     (jax.nn.dot_product_attention) or "pallas" (ecad_tpu.ops.fused_attention,
@@ -254,6 +294,61 @@ def _auto_single_tile(q, k, bias) -> bool:
     )
 
 
+def _active_multidevice_mesh():
+    """The `with mesh:` context's physical mesh when it spans >1 device,
+    else None. Under such a mesh jit auto-partitions the program — but
+    Mosaic (Pallas) kernels cannot be auto-partitioned, so the pallas
+    paths must be wrapped in shard_map (see _shard_map_attention)."""
+    from jax._src.mesh import thread_resources
+
+    m = thread_resources.env.physical_mesh
+    if m is None or m.empty or m.size == 1:
+        return None
+    return m
+
+
+def _shard_map_attention(kernel, mesh, q, k, v, bias):
+    """Run an attention `kernel(q, k, v, bias)` under shard_map on a dp×tp
+    mesh: batch shards over "dp", heads over "tp" — attention has no
+    cross-batch/cross-head dataflow, so per-shard kernels need no
+    collectives. Returns None when the mesh axes or shapes don't divide
+    (caller falls back to XLA, which auto-partitions)."""
+    from jax.sharding import PartitionSpec as P
+
+    names = set(mesh.axis_names)
+    if not names <= {"dp", "tp"}:
+        return None
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    b, _, h, _ = q.shape
+    if b % dp or h % tp:
+        return None
+    baxis = "dp" if dp > 1 else None
+    haxis = "tp" if tp > 1 else None
+    spec = P(baxis, None, haxis, None)
+    if bias is None:
+        fn = jax.shard_map(
+            lambda q_, k_, v_: kernel(q_, k_, v_, None),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )
+        return fn(q, k, v)
+    bias_spec = P(
+        baxis if bias.shape[0] == b else None,
+        haxis if bias.shape[1] == h else None,
+        None,
+        None,
+    )
+    fn = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, bias_spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v, bias)
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -262,20 +357,36 @@ def dot_product_attention(
 ) -> jax.Array:
     """Fused SDPA over (B, T, H, Dh) tensors with fp32 softmax; backend per
     set_attention_backend, with an automatic flash-kernel fast path for
-    long lane-aligned sequences regardless of backend."""
+    long lane-aligned sequences regardless of backend. Under an active
+    multi-device mesh the pallas paths run per-shard via shard_map (Mosaic
+    kernels cannot be auto-partitioned by XLA)."""
+    kernel = None
     if _ATTENTION_BACKEND == "pallas":
         from ..ops.attention import fused_attention
 
-        return fused_attention(q, k, v, bias=bias)
-    if jax.default_backend() == "tpu":
+        kernel = lambda q_, k_, v_, b_: fused_attention(  # noqa: E731
+            q_, k_, v_, bias=b_
+        )
+    elif jax.default_backend() == "tpu":
         if _auto_flash(q, k, bias):
             from ..ops.attention import _flash_attention
 
-            return _flash_attention(q, k, v, bias, interpret=False)
-        if _auto_single_tile(q, k, bias):
+            kernel = lambda q_, k_, v_, b_: _flash_attention(  # noqa: E731
+                q_, k_, v_, b_, interpret=False
+            )
+        elif _auto_single_tile(q, k, bias):
             from ..ops.attention import fused_attention
 
-            return fused_attention(q, k, v, bias=bias)
+            kernel = lambda q_, k_, v_, b_: fused_attention(  # noqa: E731
+                q_, k_, v_, bias=b_
+            )
+    if kernel is not None:
+        mesh = _active_multidevice_mesh()
+        if mesh is None:
+            return kernel(q, k, v, bias)
+        out = _shard_map_attention(kernel, mesh, q, k, v, bias)
+        if out is not None:
+            return out
     return jax.nn.dot_product_attention(q, k, v, bias=bias)
 
 

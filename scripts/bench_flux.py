@@ -63,7 +63,14 @@ def main() -> None:
     from ecad_tpu.schedules import FluxCacheSchedule
 
     config = FluxConfig(dim=1536, num_heads=12)
-    _, params = init_flux_params(config, 0)
+    # bf16 params straight on device: fp32 masters as jit arguments cost
+    # 11.1 GB HBM (they are cast to bf16 inside the program anyway) and
+    # pushed the 20-step batch-8 program 60 MB past the 15.75 GB budget.
+    from ecad_tpu.models.common import random_serving_params
+
+    params = random_serving_params(
+        jax.eval_shape(lambda: init_flux_params(config, 0)[1])
+    )
     pcfg = FluxPipelineConfig(model=config, height=256, width=256)
 
     key = jax.random.PRNGKey(0)

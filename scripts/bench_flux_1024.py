@@ -78,26 +78,12 @@ def main() -> None:
 
     config = FluxConfig(dim=1536, num_heads=12)
     # Serve in bf16 (FLUX.1-dev ships bf16 weights). Never materialize the
-    # fp32 masters on device: flax init would allocate 12 GB fp32 and the
-    # tunneled backend was observed not to release them in time, OOMing
-    # the 16 GB chip. Instead take shapes from eval_shape and fill bf16
-    # leaves directly — timing is value-independent.
-    import functools
+    # fp32 masters on device — see models/common.random_serving_params.
+    from ecad_tpu.models.common import random_serving_params
 
-    shapes = jax.eval_shape(lambda: init_flux_params(config, 0)[1])
-    leaves, treedef = jax.tree.flatten(shapes)
-    keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
-
-    @functools.lru_cache(maxsize=None)  # one program per distinct shape
-    def filler(shape):
-        return jax.jit(
-            lambda k: jax.random.normal(k, shape, jnp.bfloat16) * 0.02
-        )
-
-    filled = [
-        filler(tuple(l.shape))(k) for k, l in zip(keys, leaves)
-    ]
-    params = jax.tree.unflatten(treedef, filled)
+    params = random_serving_params(
+        jax.eval_shape(lambda: init_flux_params(config, 0)[1])
+    )
     pcfg = FluxPipelineConfig(model=config, height=1024, width=1024)
 
     key = jax.random.PRNGKey(0)

@@ -327,8 +327,12 @@ def stage_aot() -> None:
         FluxPipelineConfig,
     )
 
-    topo = topologies.get_topology_desc(platform="tpu")
+    # the real v5e-8 slice (the bare platform default is a TPU v2 donut)
+    topo = topologies.get_topology_desc(
+        platform="tpu", topology_name="v5e:2x4", chip_config_name="default"
+    )
     devs = topo.devices
+    assert devs[0].device_kind == "TPU v5 lite", devs[0].device_kind
     assert len(devs) >= 8, f"topology has {len(devs)} devices"
     mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("dp", "tp"))
 
