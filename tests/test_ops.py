@@ -162,6 +162,31 @@ class TestRowBlockAttention:
         )  # (1, 1, 1, tk) broadcast over b=3
         self._run(tq=32, tk=tk, d=64, bias=bias, b=3)
 
+    def test_static_clamp_extreme_logits(self, monkeypatch):
+        """The static-clamp softmax (no per-row max pass) must stay exact
+        for large-but-realistic logits and finite for adversarial ones."""
+        from ecad_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_ROWBLOCK_BLOCK_Q", 16)
+        b, h, tq, tk, d = 1, 1, 16, 256, 64
+        keys = jax.random.split(jax.random.PRNGKey(3), 3)
+        # scale q so logits reach ~±40 log2 (≈28 nats; logit std here is
+        # 6·log2e ≈ 8.7 log2, max over 4096 samples ≈ 4.5σ): inside the
+        # exact window, far beyond anything a trained model emits
+        q = jax.random.normal(keys[0], (b, tq, h, d)) * 6.0
+        k = jax.random.normal(keys[1], (b, tk, h, d))
+        v = jax.random.normal(keys[2], (b, tk, h, d))
+        want = jax.nn.dot_product_attention(q, k, v)
+        got = A._rowblock_attention(q, k, v, None, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3
+        )
+        # adversarial: logits far outside the window must degrade
+        # gracefully (finite output, no NaN/inf), not explode
+        q_hot = q * 1e4
+        out = A._rowblock_attention(q_hot, k, v, None, interpret=True)
+        assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
     def test_flash_attention_routes_to_rowblock(self, monkeypatch):
         """_flash_attention dispatches VMEM-resident key sequences to the
         single-pass kernel."""
