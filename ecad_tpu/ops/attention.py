@@ -112,18 +112,21 @@ _LOG2E = 1.4426950408889634
 # sequences. Threshold in k-elements (tk_pad × d_pad).
 #
 # The kernel processes kv in TWO in-body chunks: chunk 0's softmax (VPU
-# max/exp passes) has no data dependency on chunk 1's score matmul (MXU),
-# so the scheduler dual-issues them. Measured on v5e
-# (scripts/exp_attn_variants.py, scripts/bench_attention_kernels.py):
-#   B2H24T4608D128 (FLUX-1024): matmul-only floor 3.28 ms; one-chunk
-#     4.65 ms (the serial max pass costs ~1.3 ms); shipped chunked
-#     no-bias kernel 3.94 ms — vs 4.69 ms streaming flash, 30.9 ms XLA.
-#   B8H16T4096D72 (PixArt-1024): 8.93 ms at bq=256 — vs 11.9 ms
-#     streaming flash and 11.3 ms XLA (the r2 kernel lost this regime;
-#     the chunked kernel wins it despite the 72→128 lane pad).
-# bq: 512 suits lane-aligned D; 256 measures better when D is padded
-# (smaller score tiles compensate the pad's extra VMEM pressure).
-_ROWBLOCK_BLOCK_Q = 512
+# exp pass) has no data dependency on chunk 1's score matmul (MXU), so
+# the scheduler dual-issues them. Softmax range handling is the static
+# clamp documented in _rowblock_compute (no per-row max pass). Measured
+# on v5e (scripts/exp_attn_variants.py, scripts/bench_attention_kernels.py):
+#   B2H24T4608D128 (FLUX-1024): matmul-only floor 3.28 ms; shipped
+#     clamped chunked no-bias kernel 3.56 ms at bq=256 (max-subtract
+#     variant: 3.94) — vs 4.70 ms streaming flash, 31.0 ms XLA (8.7×;
+#     ~76% of the ~2.7 ms MXU roofline).
+#   B8H16T4096D72 (PixArt-1024): 8.38–8.49 ms (max-subtract: 8.93) —
+#     vs 11.9 ms streaming flash and 11.1 ms XLA (the r2 kernel lost
+#     this regime; the clamped chunked kernel wins it despite the
+#     72→128 lane pad; matmul-only floor 8.4 ms — at the floor).
+# bq: with the clamp the smaller 256 q-block wins both regimes (3.56 vs
+# 3.66 at bq=512 for D128); the max-subtract variant preferred 512.
+_ROWBLOCK_BLOCK_Q = 256
 _ROWBLOCK_BLOCK_Q_PADDED_D = 256
 _ROWBLOCK_MAX_KV_ELEMS = 8192 * 128
 
