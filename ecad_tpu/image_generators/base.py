@@ -53,12 +53,16 @@ class ImageGenerator(ABC):
         random_weights: bool = False,
         num_inference_steps: Optional[int] = None,
         batch_size: int = 8,
+        quant: Optional[str] = None,
     ) -> None:
         self.start_seed = start_seed
         self.seed_step = seed_step
         self.weights_root = Path(weights_root) if weights_root else None
         self.random_weights = random_weights
         self.batch_size = batch_size
+        # None | "int8": serving quantization for the transformer's block
+        # projections (ops/quant.py). Threaded into model_config().
+        self.quant = quant
         self.num_inference_steps = (
             num_inference_steps or self.default_num_inference_steps
         )
@@ -338,4 +342,5 @@ class ImageGenerator(ABC):
             "width": self.width,
             "guidance_scale": self.guidance_scale,
             "random_weights": self.random_weights,
+            "quant": self.quant,
         }

@@ -51,7 +51,7 @@ class FluxImageGenerator(ImageGenerator):
         )
 
     def model_config(self) -> FluxConfig:
-        return FluxConfig()
+        return FluxConfig(quant=self.quant)
 
     def create_encoder_pipeline(self):
         if self._encoder is not None:

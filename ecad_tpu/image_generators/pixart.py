@@ -31,8 +31,12 @@ class PixArtImageGenerator(ImageGenerator):
 
     def model_config(self) -> PixArtConfig:
         if "1024" in self.transformer_weights:
-            return PixArtConfig(sample_size=128, use_additional_conditions=True)
-        return PixArtConfig(sample_size=(self.height // 8))
+            return PixArtConfig(
+                sample_size=128,
+                use_additional_conditions=True,
+                quant=self.quant,
+            )
+        return PixArtConfig(sample_size=(self.height // 8), quant=self.quant)
 
     # -- pipelines ---------------------------------------------------------
 
@@ -203,7 +207,7 @@ class TinyPixArtImageGenerator(PixArtImageGenerator):
         super().__init__(*args, **kwargs)
 
     def model_config(self) -> PixArtConfig:
-        return PixArtConfig.tiny(dtype=jnp.float32)
+        return PixArtConfig.tiny(dtype=jnp.float32, quant=self.quant)
 
     def _load_schedule_file(self, schedule_path):
         sched = super()._load_schedule_file(schedule_path)

@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights-root", type=Path, default=None)
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument(
+        "--quant", choices=["int8"], default=None,
+        help="serving quantization for the transformer's block projections"
+        " (W8A8 dynamic, int8 MXU path; see ecad_tpu/ops/quant.py)",
+    )
     return p
 
 
@@ -68,6 +73,7 @@ def main(argv=None) -> None:
         random_weights=args.random_weights or args.weights_root is None,
         num_inference_steps=args.num_inference_steps,
         batch_size=args.batch_size,
+        quant=args.quant,
     )
     if args.height:
         gen.height = args.height

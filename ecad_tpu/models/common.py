@@ -408,15 +408,20 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_bias: bool = True
     out_bias: bool = True
+    quant: Optional[str] = None  # None | "int8" (ops/quant.py serving mode)
 
     def setup(self) -> None:
         inner = self.heads * self.head_dim
+        from ..ops.quant import maybe_quant_dot_general
+
+        dg = maybe_quant_dot_general(self.quant)
 
         def dense(name, features, in_axis, out_axis, use_bias):
             return nn.Dense(
                 features,
                 use_bias=use_bias,
                 dtype=self.dtype,
+                dot_general=dg,
                 kernel_init=with_part(
                     nn.initializers.normal(0.02), (in_axis, out_axis)
                 ),
@@ -464,13 +469,18 @@ class FeedForward(nn.Module):
     mult: int = 4
     dtype: jnp.dtype = jnp.bfloat16
     gated: bool = False
+    quant: Optional[str] = None  # None | "int8" (ops/quant.py serving mode)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.quant import maybe_quant_dot_general
+
+        dg = maybe_quant_dot_general(self.quant)
         inner = self.dim * self.mult
         h = nn.Dense(
             inner * (2 if self.gated else 1),
             dtype=self.dtype,
+            dot_general=dg,
             kernel_init=with_part(nn.initializers.normal(0.02), (EMBED, MLP)),
             bias_init=with_part(nn.initializers.zeros_init(), (MLP,)),
             name="proj_in",
@@ -483,6 +493,7 @@ class FeedForward(nn.Module):
         return nn.Dense(
             self.dim,
             dtype=self.dtype,
+            dot_general=dg,
             kernel_init=with_part(nn.initializers.normal(0.02), (MLP, EMBED)),
             name="proj_out",
         )(h)

@@ -73,6 +73,10 @@ class FluxConfig:
     text_len: int = 512
     guidance_embeds: bool = True
     dtype: Any = jnp.bfloat16
+    # None | "int8": route the block projections through the W8A8
+    # dynamic-quant int8 MXU path (ops/quant.py). Embedders, adaLN,
+    # QKNorm, softmax, and the final projection stay bf16/fp32.
+    quant: Any = None
 
     @classmethod
     def tiny(cls, **kw) -> "FluxConfig":
@@ -144,11 +148,22 @@ def make_image_ids(grid_h: int, grid_w: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _dense(dim, name, in_axis=EMBED, out_axis=None, dtype=jnp.bfloat16, use_bias=True):
+def _dense(
+    dim,
+    name,
+    in_axis=EMBED,
+    out_axis=None,
+    dtype=jnp.bfloat16,
+    use_bias=True,
+    quant=None,
+):
+    from ..ops.quant import maybe_quant_dot_general
+
     return nn.Dense(
         dim,
         use_bias=use_bias,
         dtype=dtype,
+        dot_general=maybe_quant_dot_general(quant),
         kernel_init=with_part(nn.initializers.normal(0.02), (in_axis, out_axis)),
         name=name,
     )
@@ -218,14 +233,14 @@ class FluxJointAttention(nn.Module):
         def heads(x):
             return x.reshape(b, -1, c.num_heads, c.head_dim)
 
-        q = heads(_dense(inner, "to_q", out_axis=HEADS, dtype=c.dtype)(img))
-        k = heads(_dense(inner, "to_k", out_axis=HEADS, dtype=c.dtype)(img))
-        v = heads(_dense(inner, "to_v", out_axis=HEADS, dtype=c.dtype)(img))
+        q = heads(_dense(inner, "to_q", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(img))
+        k = heads(_dense(inner, "to_k", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(img))
+        v = heads(_dense(inner, "to_v", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(img))
         q, k = QKNorm(c.head_dim, c.dtype, name="norm_qk")(q, k)
 
-        qc = heads(_dense(inner, "add_q_proj", out_axis=HEADS, dtype=c.dtype)(txt))
-        kc = heads(_dense(inner, "add_k_proj", out_axis=HEADS, dtype=c.dtype)(txt))
-        vc = heads(_dense(inner, "add_v_proj", out_axis=HEADS, dtype=c.dtype)(txt))
+        qc = heads(_dense(inner, "add_q_proj", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(txt))
+        kc = heads(_dense(inner, "add_k_proj", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(txt))
+        vc = heads(_dense(inner, "add_v_proj", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(txt))
         qc, kc = QKNorm(c.head_dim, c.dtype, name="norm_added_qk")(qc, kc)
 
         # text first, matching diffusers' concatenation order
@@ -237,8 +252,8 @@ class FluxJointAttention(nn.Module):
         out = dot_product_attention(q, k, v)  # backend-switchable (common)
         out = out.reshape(b, tt + ti, inner)
         txt_out, img_out = out[:, :tt], out[:, tt:]
-        img_out = _dense(c.dim, "to_out", in_axis=HEADS, out_axis=EMBED, dtype=c.dtype)(img_out)
-        txt_out = _dense(c.dim, "to_add_out", in_axis=HEADS, out_axis=EMBED, dtype=c.dtype)(txt_out)
+        img_out = _dense(c.dim, "to_out", in_axis=HEADS, out_axis=EMBED, dtype=c.dtype, quant=c.quant)(img_out)
+        txt_out = _dense(c.dim, "to_add_out", in_axis=HEADS, out_axis=EMBED, dtype=c.dtype, quant=c.quant)(txt_out)
         return img_out, txt_out
 
 
@@ -257,9 +272,9 @@ class FluxSingleAttention(nn.Module):
         def heads(y):
             return y.reshape(b, s, c.num_heads, c.head_dim)
 
-        q = heads(_dense(inner, "to_q", out_axis=HEADS, dtype=c.dtype)(x))
-        k = heads(_dense(inner, "to_k", out_axis=HEADS, dtype=c.dtype)(x))
-        v = heads(_dense(inner, "to_v", out_axis=HEADS, dtype=c.dtype)(x))
+        q = heads(_dense(inner, "to_q", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(x))
+        k = heads(_dense(inner, "to_k", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(x))
+        v = heads(_dense(inner, "to_v", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(x))
         q, k = QKNorm(c.head_dim, c.dtype, name="norm_qk")(q, k)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -311,9 +326,9 @@ class FluxDualBlock(nn.Module):
         norm_img2 = layer_norm(img) * (1 + scale_mlp) + shift_mlp
 
         def compute_ff():
-            ff = _dense(c.dim * c.mlp_ratio, "ff_in", out_axis=MLP, dtype=c.dtype)(norm_img2)
+            ff = _dense(c.dim * c.mlp_ratio, "ff_in", out_axis=MLP, dtype=c.dtype, quant=c.quant)(norm_img2)
             ff = nn.gelu(ff, approximate=True)
-            return _dense(c.dim, "ff_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype)(ff)
+            return _dense(c.dim, "ff_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype, quant=c.quant)(ff)
 
         ff = logical_constraint(
             _pick(recompute_ff, compute_ff, cache["full_ff"]),
@@ -327,11 +342,11 @@ class FluxDualBlock(nn.Module):
 
         def compute_ffc():
             ffc = _dense(
-                c.dim * c.mlp_ratio, "ff_context_in", out_axis=MLP, dtype=c.dtype
+                c.dim * c.mlp_ratio, "ff_context_in", out_axis=MLP, dtype=c.dtype, quant=c.quant
             )(norm_txt2)
             ffc = nn.gelu(ffc, approximate=True)
             return _dense(
-                c.dim, "ff_context_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype
+                c.dim, "ff_context_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype, quant=c.quant
             )(ffc)
 
         ffc = logical_constraint(
@@ -367,7 +382,7 @@ class FluxSingleBlock(nn.Module):
         mlp = _pick(
             recompute_mlp,
             lambda: _dense(
-                c.dim * c.mlp_ratio, "proj_mlp", out_axis=MLP, dtype=c.dtype
+                c.dim * c.mlp_ratio, "proj_mlp", out_axis=MLP, dtype=c.dtype, quant=c.quant
             )(normed),
             cache["single_proj_mlp"],
         )
@@ -390,7 +405,7 @@ class FluxSingleBlock(nn.Module):
         def compute_out():
             joint = jnp.concatenate([attn, mlp_act], axis=-1)
             return _dense(
-                c.dim, "proj_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype
+                c.dim, "proj_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype, quant=c.quant
             )(joint)
 
         out = logical_constraint(

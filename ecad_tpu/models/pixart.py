@@ -64,6 +64,10 @@ class PixArtConfig:
     ff_mult: int = 4
     use_additional_conditions: bool = False
     dtype: Any = jnp.bfloat16
+    # None | "int8": route the block projections (qkv/out, cross-attn,
+    # MLP) through the W8A8 dynamic-quant int8 MXU path (ops/quant.py).
+    # Embedders, adaLN, norms, softmax, and proj_out stay bf16/fp32.
+    quant: Optional[str] = None
 
     @property
     def tokens(self) -> int:
@@ -185,9 +189,13 @@ class PixArtBlock(nn.Module):
             (6, c.dim),
             jnp.float32,
         )
-        self.attn1 = Attention(c.dim, c.num_heads, c.head_dim, dtype=c.dtype)
-        self.attn2 = Attention(c.dim, c.num_heads, c.head_dim, dtype=c.dtype)
-        self.ff = FeedForward(c.dim, c.ff_mult, dtype=c.dtype)
+        self.attn1 = Attention(
+            c.dim, c.num_heads, c.head_dim, dtype=c.dtype, quant=c.quant
+        )
+        self.attn2 = Attention(
+            c.dim, c.num_heads, c.head_dim, dtype=c.dtype, quant=c.quant
+        )
+        self.ff = FeedForward(c.dim, c.ff_mult, dtype=c.dtype, quant=c.quant)
 
     def cross_kv(self, enc: jax.Array) -> tuple[jax.Array, jax.Array]:
         return self.attn2.kv(enc)
