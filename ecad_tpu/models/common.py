@@ -167,17 +167,40 @@ def serving_cast(params, dtype) -> Any:
     reference likewise serves reduced precision: fp16 blocks forced in
     pixart_transformer_2d_edited.py:98, bf16 in
     flux_transformer_2d_edited.py:92-98). No-op for non-float leaves and
-    when dtype is float32 (the fp32 tiny-config parity tests)."""
+    when dtype is float32 (the fp32 tiny-config parity tests).
+
+    int8_w exception: an fp32 `scale` sitting next to an int8 `kernel`
+    is the dequant scale of a weight-storage-quantized Dense
+    (ops/quant.py Int8Dense) — it stays fp32. Squeezing it to bf16 adds
+    ~0.3% dequant error for a negligible HBM saving (one fp32 per
+    OUTPUT CHANNEL vs int8 per weight)."""
     import jax.numpy as _jnp
 
     if dtype == _jnp.float32:
         return params
-    return jax.tree.map(
-        lambda x: x.astype(dtype)
-        if hasattr(x, "dtype") and x.dtype == _jnp.float32
-        else x,
-        params,
-    )
+
+    from collections.abc import Mapping
+
+    def leaf_dtype(x):
+        if isinstance(x, nn.meta.AxisMetadata):
+            x = x.unbox()
+        return getattr(x, "dtype", None)
+
+    def rec(node):
+        if isinstance(node, Mapping):
+            int8_w = leaf_dtype(node.get("kernel")) == _jnp.int8
+            return {
+                k: (v if (int8_w and k == "scale") else rec(v))
+                for k, v in node.items()
+            }
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and x.dtype == _jnp.float32
+            else x,
+            node,
+        )
+
+    return rec(params)
 
 
 def random_serving_params(
@@ -200,11 +223,30 @@ def random_serving_params(
     import functools
 
     dtype = jnp.bfloat16 if dtype is None else dtype
-    leaves, treedef = jax.tree.flatten(shape_tree)
-    keys = jax.random.split(jax.random.PRNGKey(seed), max(len(leaves), 1))
+    path_leaves, treedef = jax.tree_util.tree_flatten_with_path(shape_tree)
+    keys = jax.random.split(
+        jax.random.PRNGKey(seed), max(len(path_leaves), 1)
+    )
 
     @functools.lru_cache(maxsize=None)  # one program per distinct shape
-    def filler(shape, leaf_dtype):
+    def filler(shape, leaf_dtype, kind):
+        if kind == "int8_kernel":
+            # int8_w storage kernels (ops/quant.py Int8Dense): random in
+            # the full quant range so random-weight wall-clock runs see
+            # non-degenerate activations (zeros would zero every matmul)
+            return jax.jit(
+                lambda k: jax.random.randint(k, shape, -127, 128, jnp.int8)
+            )
+        if kind == "dequant_scale":
+            # per-channel dequant scale of an Int8Dense: positive, sized
+            # so q·scale lands in the N(0, `scale`) family the float
+            # kernels use — a N(0, scale) fill would make effective
+            # weights ~75× too large and overflow bf16 through 57 blocks
+            return jax.jit(
+                lambda k: jnp.abs(jax.random.normal(k, shape, jnp.float32))
+                * (scale / 127.0)
+                + 1e-6
+            )
         if not jnp.issubdtype(leaf_dtype, jnp.floating):
             return jax.jit(lambda k: jnp.zeros(shape, leaf_dtype))
         return jax.jit(
@@ -213,9 +255,26 @@ def random_serving_params(
             )
         )
 
+    def kind_of(path, leaf_dtype):
+        if leaf_dtype == jnp.int8:
+            return "int8_kernel"
+        # the param name is the innermost dict key (boxed leaves append
+        # box-internal path entries after it)
+        name = next(
+            (
+                e.key
+                for e in reversed(path)
+                if isinstance(e, jax.tree_util.DictKey)
+            ),
+            None,
+        )
+        if name == "scale" and leaf_dtype == jnp.float32:
+            return "dequant_scale"
+        return ""
+
     filled = [
-        filler(tuple(l.shape), jnp.dtype(l.dtype))(k)
-        for k, l in zip(keys, leaves)
+        filler(tuple(l.shape), jnp.dtype(l.dtype), kind_of(p, l.dtype))(k)
+        for k, (p, l) in zip(keys, path_leaves)
     ]
     return jax.tree.unflatten(treedef, filled)
 
@@ -412,11 +471,19 @@ class Attention(nn.Module):
 
     def setup(self) -> None:
         inner = self.heads * self.head_dim
-        from ..ops.quant import maybe_quant_dot_general
+        from ..ops.quant import Int8Dense, maybe_quant_dot_general
 
         dg = maybe_quant_dot_general(self.quant)
 
         def dense(name, features, in_axis, out_axis, use_bias):
+            if self.quant == "int8_w":
+                return Int8Dense(
+                    features,
+                    axes=(in_axis, out_axis),
+                    use_bias=use_bias,
+                    dtype=self.dtype,
+                    name=name,
+                )
             return nn.Dense(
                 features,
                 use_bias=use_bias,
@@ -473,30 +540,47 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from ..ops.quant import maybe_quant_dot_general
+        from ..ops.quant import Int8Dense, maybe_quant_dot_general
 
         dg = maybe_quant_dot_general(self.quant)
         inner = self.dim * self.mult
-        h = nn.Dense(
-            inner * (2 if self.gated else 1),
-            dtype=self.dtype,
-            dot_general=dg,
-            kernel_init=with_part(nn.initializers.normal(0.02), (EMBED, MLP)),
-            bias_init=with_part(nn.initializers.zeros_init(), (MLP,)),
-            name="proj_in",
-        )(x)
+        if self.quant == "int8_w":
+            proj_in = Int8Dense(
+                inner * (2 if self.gated else 1),
+                axes=(EMBED, MLP),
+                dtype=self.dtype,
+                name="proj_in",
+            )
+            proj_out = Int8Dense(
+                self.dim, axes=(MLP, EMBED), dtype=self.dtype, name="proj_out"
+            )
+        else:
+            proj_in = nn.Dense(
+                inner * (2 if self.gated else 1),
+                dtype=self.dtype,
+                dot_general=dg,
+                kernel_init=with_part(
+                    nn.initializers.normal(0.02), (EMBED, MLP)
+                ),
+                bias_init=with_part(nn.initializers.zeros_init(), (MLP,)),
+                name="proj_in",
+            )
+            proj_out = nn.Dense(
+                self.dim,
+                dtype=self.dtype,
+                dot_general=dg,
+                kernel_init=with_part(
+                    nn.initializers.normal(0.02), (MLP, EMBED)
+                ),
+                name="proj_out",
+            )
+        h = proj_in(x)
         if self.gated:
             h, gate = jnp.split(h, 2, axis=-1)
             h = h * nn.gelu(gate, approximate=True)
         else:
             h = nn.gelu(h, approximate=True)
-        return nn.Dense(
-            self.dim,
-            dtype=self.dtype,
-            dot_general=dg,
-            kernel_init=with_part(nn.initializers.normal(0.02), (MLP, EMBED)),
-            name="proj_out",
-        )(h)
+        return proj_out(h)
 
 
 def sincos_2d_pos_embed(

@@ -73,9 +73,14 @@ class FluxConfig:
     text_len: int = 512
     guidance_embeds: bool = True
     dtype: Any = jnp.bfloat16
-    # None | "int8": route the block projections through the W8A8
-    # dynamic-quant int8 MXU path (ops/quant.py). Embedders, adaLN,
-    # QKNorm, softmax, and the final projection stay bf16/fp32.
+    # None | "int8" | "int8_w" (ops/quant.py):
+    # * "int8": block projections through the W8A8 dynamic-quant int8
+    #   MXU path; bf16 weights in HBM. Embedders, adaLN, QKNorm,
+    #   softmax, and the final projection stay bf16/fp32.
+    # * "int8_w": int8 weight STORAGE (+ per-channel scale) for the
+    #   block projections AND the adaLN linears — halves weight HBM so
+    #   the full-width 12B model fits one 16 GiB v5e chip (23.8 GiB
+    #   bf16 → ~11.2 GiB). Same W8A8 MXU path at apply time.
     quant: Any = None
 
     @classmethod
@@ -157,8 +162,19 @@ def _dense(
     use_bias=True,
     quant=None,
 ):
-    from ..ops.quant import maybe_quant_dot_general
+    from ..ops.quant import Int8Dense, maybe_quant_dot_general
 
+    if quant == "int8_w":
+        # Weight-STORAGE quantization: int8 kernel in HBM (1 byte/param)
+        # + per-channel scale, W8A8 on the int8 MXU. This is the mode
+        # that fits full-width 12B FLUX on one 16 GiB v5e chip.
+        return Int8Dense(
+            dim,
+            axes=(in_axis, out_axis),
+            use_bias=use_bias,
+            dtype=dtype,
+            name=name,
+        )
     return nn.Dense(
         dim,
         use_bias=use_bias,
@@ -171,16 +187,28 @@ def _dense(
 
 class AdaNorm(nn.Module):
     """AdaLayerNormZero family: silu(temb) → linear → n_mods chunks; returns
-    modulated layer-norm and the gates."""
+    modulated layer-norm and the gates.
+
+    `quant` is honored ONLY for the "int8_w" storage mode: the adaLN
+    linears are 3.2 B of FLUX's 11.9 B params, so int8 storage there is
+    mandatory for the single-chip fit (their matmul FLOPs are negligible
+    — temb is one token — so this is purely a residency decision). The
+    dynamic "int8" serving mode deliberately keeps adaLN exact
+    (ops/quant.py module docstring), hence the filter below."""
 
     dim: int
     n_mods: int
     dtype: Any = jnp.bfloat16
+    quant: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array):
         mods = _dense(
-            self.n_mods * self.dim, "linear", dtype=self.dtype, out_axis=None
+            self.n_mods * self.dim,
+            "linear",
+            dtype=self.dtype,
+            out_axis=None,
+            quant=self.quant if self.quant == "int8_w" else None,
         )(nn.silu(temb))
         parts = jnp.split(mods[:, None, :], self.n_mods, axis=-1)
         shift, scale = parts[0], parts[1]
@@ -303,10 +331,10 @@ class FluxDualBlock(nn.Module):
         new_cache = {}
 
         norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaNorm(
-            c.dim, 6, c.dtype, name="norm1"
+            c.dim, 6, c.dtype, c.quant, name="norm1"
         )(img, temb)
         norm_txt, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = AdaNorm(
-            c.dim, 6, c.dtype, name="norm1_context"
+            c.dim, 6, c.dtype, c.quant, name="norm1_context"
         )(txt, temb)
 
         attn_out, ctx_attn_out = _pick(
@@ -377,7 +405,7 @@ class FluxSingleBlock(nn.Module):
         )
         new_cache = {}
         residual = x
-        normed, gate = AdaNorm(c.dim, 3, c.dtype, name="norm")(x, temb)
+        normed, gate = AdaNorm(c.dim, 3, c.dtype, c.quant, name="norm")(x, temb)
 
         mlp = _pick(
             recompute_mlp,

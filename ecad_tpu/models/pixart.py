@@ -64,9 +64,12 @@ class PixArtConfig:
     ff_mult: int = 4
     use_additional_conditions: bool = False
     dtype: Any = jnp.bfloat16
-    # None | "int8": route the block projections (qkv/out, cross-attn,
-    # MLP) through the W8A8 dynamic-quant int8 MXU path (ops/quant.py).
-    # Embedders, adaLN, norms, softmax, and proj_out stay bf16/fp32.
+    # None | "int8" | "int8_w" (ops/quant.py): "int8" routes the block
+    # projections (qkv/out, cross-attn, MLP) through the W8A8
+    # dynamic-quant int8 MXU path with bf16 weights in HBM; "int8_w"
+    # additionally STORES those kernels as int8 (+ per-channel scale),
+    # halving their HBM residency and read traffic. Embedders, adaLN,
+    # norms, softmax, and proj_out stay bf16/fp32 in both modes.
     quant: Optional[str] = None
 
     @property

@@ -156,9 +156,31 @@ def convert_pixart_state_dict(state: dict, config) -> dict:
     return p
 
 
+def _storage_quantize(params: dict, config, init_params_fn) -> dict:
+    """For `quant="int8_w"` configs, convert the float param tree into
+    the int8 weight-storage layout the model's apply expects (int8
+    `kernel` + fp32 per-channel `scale` wherever the model instantiates
+    an Int8Dense). The target structure comes from an abstract
+    `eval_shape` of the random init — no weight-sized compute."""
+    if getattr(config, "quant", None) != "int8_w":
+        return params
+    import jax
+    from flax import linen as nn
+
+    from ..ops.quant import quantize_params_tree
+
+    ref = nn.meta.unbox(
+        jax.eval_shape(lambda: init_params_fn(config, 0)[1])
+    )
+    return quantize_params_tree(params, ref)
+
+
 def load_pixart_params(weights_root: Path | str, repo: str, config) -> dict:
+    from .pixart import init_params
+
     model_dir = Path(weights_root) / repo / "transformer"
-    return convert_pixart_state_dict(load_state_dict(model_dir), config)
+    params = convert_pixart_state_dict(load_state_dict(model_dir), config)
+    return _storage_quantize(params, config, init_params)
 
 
 # ---------------------------------------------------------------------------
@@ -240,5 +262,8 @@ def convert_flux_state_dict(state: dict, config) -> dict:
 
 
 def load_flux_params(weights_root: Path | str, repo: str, config) -> dict:
+    from .flux import init_flux_params
+
     model_dir = Path(weights_root) / repo / "transformer"
-    return convert_flux_state_dict(load_state_dict(model_dir), config)
+    params = convert_flux_state_dict(load_state_dict(model_dir), config)
+    return _storage_quantize(params, config, init_flux_params)

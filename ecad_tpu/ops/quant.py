@@ -109,9 +109,152 @@ def int8_dot_general(
 
 def maybe_quant_dot_general(quant: Optional[str]):
     """The `dot_general` override for a quant mode name: None (exact
-    default) for bf16 serving, `int8_dot_general` for "int8"."""
-    if quant is None or quant == "none":
+    default) for bf16 serving, `int8_dot_general` for "int8". "int8_w"
+    (weight-STORAGE quantization) is handled structurally — the model
+    swaps `nn.Dense` for `Int8Dense` — so it maps to None here."""
+    if quant is None or quant in ("none", "int8_w"):
         return None
     if quant == "int8":
         return int8_dot_general
-    raise ValueError(f"unknown quant mode {quant!r} (expected None|'int8')")
+    raise ValueError(
+        f"unknown quant mode {quant!r} (expected None|'int8'|'int8_w')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8_w: weight-STORAGE quantization
+# ---------------------------------------------------------------------------
+#
+# "int8" above requantizes bf16 master weights on the fly — HBM residency
+# is unchanged. "int8_w" stores the kernel itself as int8 (1 byte/param)
+# plus a per-output-channel fp32 scale, which HALVES weight HBM vs bf16.
+# That is the mode that fits the true full-width 12B FLUX.1-dev on a
+# single 16 GiB v5e chip (23.8 GiB bf16 → ~11.2 GiB int8; the reference
+# needs a 48 GB A6000 for the same model,
+# flux_transformer_2d_edited.py:92-98). Activations are dynamically
+# quantized per token at the same sites, so the matmul still runs on the
+# int8 MXU path.
+
+
+import flax.linen as _nn
+
+
+class Int8Dense(_nn.Module):
+    """Weight-storage int8 Dense (W8A8 on the int8 MXU path).
+
+    Params: `kernel` int8 (in, out) — 1 byte/param in HBM — plus
+    `scale` fp32 (out,) per-output-channel dequant scale, and the
+    usual fp32 `bias`. Apply quantizes the activation per token
+    (max-abs over the contraction axis), contracts int8×int8→int32,
+    and dequantizes with (token_scale ⊗ channel_scale) in fp32.
+
+    `axes` are the logical-partitioning names for the kernel, e.g.
+    (EMBED, MLP) — the same metadata `nn.Dense` call sites attach via
+    `with_part`, so tp/dp sharding derivation is unchanged.
+
+    Random `.init`: each param's initializer draws a normal(0.02)
+    float matrix and quantizes it, but flax folds the param NAME into
+    the RNG, so kernel and scale come from different draws — not a
+    consistent (q, scale) pair of one float matrix, just statistically
+    in-family, which is all random-weight benching needs. Real-weight
+    loading gets exact consistency via `quantize_params_tree` after
+    conversion.
+    """
+
+    features: int
+    axes: tuple
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    init_scale: float = 0.02
+
+    @_nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        draw = _nn.initializers.normal(self.init_scale)
+
+        def kernel_init(key, shape, dtype=jnp.int8):
+            w = draw(key, shape, jnp.float32)
+            return quantize_int8(w, axis=0)[0]
+
+        def scale_init(key, shape, dtype=jnp.float32):
+            w = draw(key, (in_features, self.features), jnp.float32)
+            return quantize_int8(w, axis=0)[1].reshape(-1)
+
+        kernel = self.param(
+            "kernel",
+            _nn.with_logical_partitioning(kernel_init, self.axes),
+            (in_features, self.features),
+        )
+        scale = self.param(
+            "scale",
+            _nn.with_logical_partitioning(scale_init, (self.axes[-1],)),
+            (self.features,),
+        )
+        xq, xs = quantize_int8(x, axis=-1)
+        dn = (((x.ndim - 1,), (0,)), ((), ()))
+        acc = lax.dot_general(
+            xq, kernel, dn, preferred_element_type=jnp.int32
+        )
+        y = acc.astype(jnp.float32) * xs * scale.astype(jnp.float32)
+        y = y.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                _nn.with_logical_partitioning(
+                    _nn.initializers.zeros_init(), (self.axes[-1],)
+                ),
+                (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def _is_boxed(x: Any) -> bool:
+    return isinstance(x, _nn.meta.AxisMetadata)
+
+
+def _unbox(x: Any) -> Any:
+    return x.unbox() if _is_boxed(x) else x
+
+
+def _rebox(ref_leaf: Any, value: Any) -> Any:
+    return ref_leaf.replace_boxed(value) if _is_boxed(ref_leaf) else value
+
+
+def quantize_params_tree(params: Any, ref: Any) -> Any:
+    """Convert a float param tree into the int8_w storage layout.
+
+    `ref` is the target structure — typically
+    `jax.eval_shape(model.init, ...)["params"]` of the `quant="int8_w"`
+    model. Wherever `ref` holds an int8 `kernel` with a sibling `scale`,
+    the source float kernel is symmetrically quantized per output channel;
+    every other leaf is passed through unchanged. Partitioning boxes on
+    `ref` are preserved (values are reboxed with the ref metadata).
+
+    Apply AFTER `serving_cast`: the fp32 scales produced here should stay
+    fp32 (a later serving_cast would squeeze them to bf16 and cost ~0.3%
+    extra dequant error).
+    """
+
+    def rec(src: Any, r: Any) -> Any:
+        if isinstance(r, dict) or hasattr(r, "items"):
+            keys = set(r.keys())
+            if "kernel" in keys and "scale" in keys:
+                ref_kernel = _unbox(r["kernel"])
+                if ref_kernel.dtype == jnp.int8:
+                    w = jnp.asarray(_unbox(src["kernel"]), jnp.float32)
+                    q, s = quantize_int8(w, axis=0)
+                    out = {
+                        "kernel": _rebox(r["kernel"], q),
+                        "scale": _rebox(r["scale"], s.reshape(-1)),
+                    }
+                    if "bias" in keys:
+                        out["bias"] = _rebox(
+                            r["bias"], _unbox(src["bias"])
+                        )
+                    return out
+            return {k: rec(src[k], r[k]) for k in r.keys()}
+        return _rebox(r, _unbox(src))
+
+    return rec(params, ref)

@@ -71,6 +71,8 @@ def test_maybe_quant_dot_general():
     assert maybe_quant_dot_general(None) is None
     assert maybe_quant_dot_general("none") is None
     assert maybe_quant_dot_general("int8") is int8_dot_general
+    # int8_w is structural (Int8Dense swap), not a dot_general override
+    assert maybe_quant_dot_general("int8_w") is None
     with pytest.raises(ValueError):
         maybe_quant_dot_general("fp4")
 
@@ -132,6 +134,147 @@ def test_flux_block_int8_close_to_bf16():
     err = _rel_err(qout, out)
     assert err < 0.08, f"int8 full-model deviation too large: {err}"
     assert np.isfinite(np.asarray(qout)).all()
+
+
+def test_int8_dense_storage_and_numerics():
+    """Int8Dense stores int8 kernels (the HBM win) and, fed a
+    quantize_params_tree conversion of real float weights, matches the
+    exact Dense to W8A8 tolerance."""
+    import flax.linen as nn
+
+    from ecad_tpu.models.common import EMBED, MLP, with_part
+    from ecad_tpu.ops.quant import Int8Dense, quantize_params_tree
+
+    din, dout, b = 256, 512, 8
+    exact = nn.Dense(
+        dout,
+        dtype=jnp.float32,
+        kernel_init=with_part(nn.initializers.normal(0.02), (EMBED, MLP)),
+    )
+    qmod = Int8Dense(dout, axes=(EMBED, MLP), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, din), jnp.float32)
+    fparams = nn.meta.unbox(exact.init(jax.random.PRNGKey(1), x))["params"]
+    ref = nn.meta.unbox(
+        jax.eval_shape(lambda: qmod.init(jax.random.PRNGKey(2), x))
+    )["params"]
+    assert ref["kernel"].dtype == jnp.int8
+    assert ref["scale"].shape == (dout,)
+    qparams = quantize_params_tree(fparams, ref)
+    assert qparams["kernel"].dtype == jnp.int8
+    assert qparams["scale"].dtype == jnp.float32
+    y = exact.apply({"params": fparams}, x)
+    yq = qmod.apply({"params": qparams}, x)
+    assert _rel_err(yq, y) < 0.02
+    # bias passthrough is exact
+    np.testing.assert_array_equal(qparams["bias"], fparams["bias"])
+
+
+def test_flux_int8_w_close_to_fp32_and_half_bytes():
+    """quant="int8_w" threads through every FLUX block linear (attention,
+    MLPs, adaLN): outputs stay in W8A8 tolerance of the exact model when
+    fed the quantized conversion of the same float weights, and weight
+    bytes drop below the bf16 serving footprint."""
+    from ecad_tpu.models import FluxConfig, full_flux_mask, init_flux_params
+    from ecad_tpu.models.common import serving_cast
+    from ecad_tpu.models.flux import init_flux_cache
+    from ecad_tpu.ops.quant import quantize_params_tree
+
+    cfg = FluxConfig.tiny(dtype=jnp.float32)
+    qcfg = FluxConfig.tiny(dtype=jnp.float32, quant="int8_w")
+    model, params = init_flux_params(cfg, 0)
+    qmodel, _ = init_flux_params(qcfg, 0)
+
+    import flax.linen as nn
+
+    ref = nn.meta.unbox(
+        jax.eval_shape(lambda: init_flux_params(qcfg, 0)[1])
+    )
+    qparams = quantize_params_tree(nn.meta.unbox(params), ref)
+
+    # adaLN linears are covered too (mandatory for the 12B single-chip fit)
+    blk = qparams["block_0"]["norm1"]["linear"]
+    assert blk["kernel"].dtype == jnp.int8 and "scale" in blk
+
+    b, gh, gw = 2, 4, 4
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    latents = jax.random.normal(k1, (b, gh * gw, cfg.in_channels), jnp.float32)
+    txt = jax.random.normal(k2, (b, cfg.text_len, cfg.joint_dim), jnp.float32)
+    pooled = jax.random.normal(k3, (b, cfg.pooled_dim), jnp.float32)
+    t = jnp.full((b,), 0.7, jnp.float32)
+    g = jnp.full((b,), 5.0, jnp.float32)
+    mask = full_flux_mask(cfg)
+
+    args = (latents, txt, pooled, t, g, init_flux_cache(), mask, (gh, gw))
+    out, _ = model.apply({"params": params}, *args)
+    qout, _ = qmodel.apply({"params": qparams}, *args)
+    err = _rel_err(qout, out)
+    assert err < 0.08, f"int8_w full-model deviation too large: {err}"
+    assert np.isfinite(np.asarray(qout)).all()
+
+    # storage: int8_w weight bytes < 55% of the bf16 serving footprint
+    def nbytes(tree):
+        return sum(
+            x.size * x.dtype.itemsize for x in jax.tree.leaves(tree)
+        )
+
+    bf16_bytes = nbytes(serving_cast(nn.meta.unbox(params), jnp.bfloat16))
+    q_bytes = nbytes(serving_cast(qparams, jnp.bfloat16))
+    # At the tiny config the non-quantized embedders and the fp32
+    # per-channel scales weigh disproportionately (dim 64), so the ratio
+    # is ~0.58 here vs ~0.47 at full width (where block linears are
+    # >97% of params; scripts/flux_full_width.py int8 mode measures it).
+    assert q_bytes < 0.65 * bf16_bytes, (q_bytes, bf16_bytes)
+
+
+def test_serving_cast_preserves_int8_w_scales():
+    """serving_cast must not squeeze the fp32 dequant scales next to int8
+    kernels to bf16 (but still casts everything else fp32→bf16)."""
+    from ecad_tpu.models.common import serving_cast
+
+    tree = {
+        "q": {
+            "kernel": jnp.zeros((4, 8), jnp.int8),
+            "scale": jnp.ones((8,), jnp.float32),
+            "bias": jnp.zeros((8,), jnp.float32),
+        },
+        "dense": {
+            "kernel": jnp.zeros((4, 8), jnp.float32),
+            "bias": jnp.zeros((8,), jnp.float32),
+        },
+    }
+    out = serving_cast(tree, jnp.bfloat16)
+    assert out["q"]["kernel"].dtype == jnp.int8
+    assert out["q"]["scale"].dtype == jnp.float32
+    assert out["q"]["bias"].dtype == jnp.bfloat16
+    assert out["dense"]["kernel"].dtype == jnp.bfloat16
+
+
+def test_pixart_int8_w_smoke():
+    """The storage mode threads through the PixArt blocks + pipeline."""
+    from ecad_tpu.models import PixArtConfig, full_step_mask, init_cache, init_params
+
+    cfg = PixArtConfig.tiny(
+        dim=128, num_heads=4, head_dim=32, dtype=jnp.float32, quant="int8_w"
+    )
+    model, params = init_params(cfg, 0)
+    import flax.linen as nn
+
+    flat = jax.tree_util.tree_leaves_with_path(nn.meta.unbox(params))
+    int8_leaves = [p for p, x in flat if x.dtype == jnp.int8]
+    assert len(int8_leaves) >= cfg.num_blocks * 8  # qkv/out ×2 attn + 2 MLP
+
+    b = 2
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    latents = jax.random.normal(
+        k1, (b, cfg.sample_size, cfg.sample_size, cfg.in_channels), jnp.float32
+    )
+    text = jax.random.normal(k2, (b, cfg.text_len, cfg.caption_dim), jnp.float32)
+    t = jnp.full((b,), 400.0, jnp.float32)
+    out, _ = model.apply(
+        {"params": params}, latents, text, t, init_cache(cfg, b),
+        full_step_mask(cfg),
+    )
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_pixart_pipeline_int8_smoke():
