@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random-seed-gen-0", action="store_true",
                    help="seed gen 0 randomly without asking (reference asks "
                         "interactively, train_nsga2_base.py:184-252)")
+    p.add_argument("--quant", choices=["int8", "int8_w"], default=None,
+                   help="serving quantization for the denoiser's block"
+                   " projections (ops/quant.py): 'int8' = W8A8 dynamic on"
+                   " the double-rate int8 MXU; 'int8_w' also stores"
+                   " kernels as int8, halving weight HBM")
     p.add_argument("--tiny-model", action="store_true",
                    help="2-block test model (random weights) for smoke runs")
     p.add_argument("--crossover-prob", type=float, default=0.9)
@@ -243,6 +248,7 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
         from ..image_generators import PixArtAlphaImageGenerator
 
         gen = PixArtAlphaImageGenerator(
+            quant=args.quant,
             start_seed=args.start_seed,
             seed_step=args.seed_step,
             weights_root=args.weights_root,
@@ -270,9 +276,9 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
             )
     else:
         config = (
-            PixArtConfig.tiny(dtype=jnp.float32)
+            PixArtConfig.tiny(dtype=jnp.float32, quant=args.quant)
             if args.tiny_model
-            else PixArtConfig()
+            else PixArtConfig(quant=args.quant)
         )
         _, params = init_params(config, args.seed)
         pcfg = PixArtPipelineConfig(
@@ -339,6 +345,7 @@ def _build_flux_evaluator(args):
         from ..image_generators import FluxImageGenerator
 
         gen = FluxImageGenerator(
+            quant=args.quant,
             start_seed=args.start_seed,
             seed_step=args.seed_step,
             weights_root=args.weights_root,
@@ -366,9 +373,9 @@ def _build_flux_evaluator(args):
             )
     else:
         config = (
-            FluxConfig.tiny(dtype=jnp.float32)
+            FluxConfig.tiny(dtype=jnp.float32, quant=args.quant)
             if args.tiny_model
-            else FluxConfig()
+            else FluxConfig(quant=args.quant)
         )
         _, params = init_flux_params(config, args.seed)
         height = 64 if args.tiny_model else 256
