@@ -289,7 +289,6 @@ class FluxCandidateEvaluator(CandidateEvaluator):
 
     def _evaluate_candidate(self, schedule):
         from ..models.flux import unpack_latents
-        from ..scoring import get_scorer, merge_scores
 
         if self.config.mode == "dynamic":
             c = self.pipeline.config.model

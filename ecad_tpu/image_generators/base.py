@@ -60,7 +60,8 @@ class ImageGenerator(ABC):
         self.weights_root = Path(weights_root) if weights_root else None
         self.random_weights = random_weights
         self.batch_size = batch_size
-        # None | "int8": serving quantization for the transformer's block
+        # None | "int8" (W8A8 dynamic quant) | "int8_w" (int8 weight
+        # storage): serving quantization for the transformer's block
         # projections (ops/quant.py). Threaded into model_config().
         self.quant = quant
         self.num_inference_steps = (

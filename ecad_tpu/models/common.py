@@ -247,6 +247,14 @@ def random_serving_params(
                 * (scale / 127.0)
                 + 1e-6
             )
+        if kind == "norm_scale":
+            # norm affine weights train to ~1.0; keep them in that family
+            # so activation magnitudes stay realistic through deep stacks
+            return jax.jit(
+                lambda k: (
+                    1.0 + jax.random.normal(k, shape, jnp.float32) * scale
+                ).astype(leaf_dtype)
+            )
         if not jnp.issubdtype(leaf_dtype, jnp.floating):
             return jax.jit(lambda k: jnp.zeros(shape, leaf_dtype))
         return jax.jit(
@@ -255,21 +263,33 @@ def random_serving_params(
             )
         )
 
+    def param_name_and_parent(path):
+        # the param name is the innermost dict key (boxed leaves append
+        # box-internal path entries after it); the parent path identifies
+        # the module dict the param lives in
+        for i in range(len(path) - 1, -1, -1):
+            if isinstance(path[i], jax.tree_util.DictKey):
+                return path[i].key, path[:i]
+        return None, path
+
+    # "scale" is also the standard norm-affine param name (LayerNorm,
+    # models/vae.py, models/clip.py expect ~1.0 there), so an fp32
+    # "scale" counts as an Int8Dense dequant scale only when it shares a
+    # module dict with an int8 kernel
+    int8_parents = {
+        param_name_and_parent(p)[1]
+        for p, l in path_leaves
+        if jnp.dtype(l.dtype) == jnp.int8
+    }
+
     def kind_of(path, leaf_dtype):
         if leaf_dtype == jnp.int8:
             return "int8_kernel"
-        # the param name is the innermost dict key (boxed leaves append
-        # box-internal path entries after it)
-        name = next(
-            (
-                e.key
-                for e in reversed(path)
-                if isinstance(e, jax.tree_util.DictKey)
-            ),
-            None,
-        )
-        if name == "scale" and leaf_dtype == jnp.float32:
-            return "dequant_scale"
+        name, parent = param_name_and_parent(path)
+        if name == "scale" and jnp.issubdtype(leaf_dtype, jnp.floating):
+            if leaf_dtype == jnp.float32 and parent in int8_parents:
+                return "dequant_scale"
+            return "norm_scale"
         return ""
 
     filled = [
@@ -357,10 +377,23 @@ def _active_multidevice_mesh():
     """The `with mesh:` context's physical mesh when it spans >1 device,
     else None. Under such a mesh jit auto-partitions the program — but
     Mosaic (Pallas) kernels cannot be auto-partitioned, so the pallas
-    paths must be wrapped in shard_map (see _shard_map_attention)."""
-    from jax._src.mesh import thread_resources
+    paths must be wrapped in shard_map (see _shard_map_attention).
 
-    m = thread_resources.env.physical_mesh
+    Raises RuntimeError if the (private) mesh-context API is unavailable
+    — callers must then stay off the pallas paths entirely, since a
+    multi-device program with an undetected mesh would emit an unwrapped
+    Mosaic kernel and fail to partition. Note the limitation: a program
+    sharded purely via NamedSharding-annotated args WITHOUT `with mesh:`
+    is undetectable at trace time; all in-repo multi-device paths
+    (pipelines, evaluators, __graft_entry__) enter the mesh context."""
+    try:
+        from jax._src.mesh import thread_resources
+
+        m = thread_resources.env.physical_mesh
+    except Exception as e:  # pragma: no cover - future-jax guard
+        raise RuntimeError(
+            "cannot detect the active mesh (jax._src.mesh moved?)"
+        ) from e
     if m is None or m.empty or m.size == 1:
         return None
     return m
@@ -440,12 +473,16 @@ def dot_product_attention(
                 q_, k_, v_, bias=b_
             )
     if kernel is not None:
-        mesh = _active_multidevice_mesh()
-        if mesh is None:
-            return kernel(q, k, v, bias)
-        out = _shard_map_attention(kernel, mesh, q, k, v, bias)
-        if out is not None:
-            return out
+        try:
+            mesh = _active_multidevice_mesh()
+        except RuntimeError:
+            kernel = None  # can't prove single-device; stay on XLA
+        if kernel is not None:
+            if mesh is None:
+                return kernel(q, k, v, bias)
+            out = _shard_map_attention(kernel, mesh, q, k, v, bias)
+            if out is not None:
+                return out
     return jax.nn.dot_product_attention(q, k, v, bias=bias)
 
 

@@ -19,7 +19,6 @@ device. Used to pick _ROWBLOCK_BLOCK_Q and to decide the D=72 routing
 
 from __future__ import annotations
 
-import functools
 import json
 import pathlib
 import sys
@@ -94,17 +93,28 @@ def main() -> None:
         A._ROWBLOCK_MAX_KV_ELEMS = saved
         rows["flash"] = (ms, err(out))
 
-        for bq in (128, 256, 512):
-            A._ROWBLOCK_BLOCK_Q = bq
-            ms, out = measure(
-                functools.partial(
-                    lambda q, k, v: A._rowblock_attention(q, k, v, None, False)
-                ),
-                q,
-                k,
-                v,
-            )
-            rows[f"rowblock/{bq}"] = (ms, err(out))
+        # sweep the q-block knob the kernel actually reads for this shape:
+        # _ROWBLOCK_BLOCK_Q for lane-aligned head dims, _PADDED_D otherwise
+        # (ops/attention.py _rowblock_attention); restore both afterwards
+        saved_bq = (A._ROWBLOCK_BLOCK_Q, A._ROWBLOCK_BLOCK_Q_PADDED_D)
+        padded = s["d"] % 128 != 0
+        try:
+            for bq in (128, 256, 512):
+                if padded:
+                    A._ROWBLOCK_BLOCK_Q_PADDED_D = bq
+                else:
+                    A._ROWBLOCK_BLOCK_Q = bq
+                ms, out = measure(
+                    lambda q, k, v: A._rowblock_attention(
+                        q, k, v, None, False
+                    ),
+                    q,
+                    k,
+                    v,
+                )
+                rows[f"rowblock/{bq}"] = (ms, err(out))
+        finally:
+            A._ROWBLOCK_BLOCK_Q, A._ROWBLOCK_BLOCK_Q_PADDED_D = saved_bq
 
         for label, (ms, err) in rows.items():
             print(

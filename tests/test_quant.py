@@ -301,3 +301,27 @@ def test_pixart_pipeline_int8_smoke():
     fn = pipe.build_denoise_fn(donate=False)
     out = fn(params, noise, text, neg, None, None)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_random_serving_params_scale_classification():
+    """An fp32 "scale" leaf is a dequant scale ONLY next to an int8
+    kernel; a norm-affine "scale" (LayerNorm/RMSNorm/VAE GroupNorm) must
+    fill near its trained value of 1.0, not the ~1e-4 dequant family
+    (which would collapse every norm output)."""
+    from ecad_tpu.models.common import random_serving_params
+
+    tree = {
+        "dense": {
+            "kernel": jax.ShapeDtypeStruct((16, 16), jnp.int8),
+            "scale": jax.ShapeDtypeStruct((16,), jnp.float32),
+        },
+        "norm": {
+            "scale": jax.ShapeDtypeStruct((16,), jnp.float32),
+            "bias": jax.ShapeDtypeStruct((16,), jnp.float32),
+        },
+    }
+    p = random_serving_params(tree)
+    dq = np.asarray(p["dense"]["scale"])
+    ns = np.asarray(p["norm"]["scale"], np.float32)
+    assert (dq > 0).all() and dq.mean() < 0.01  # dequant family
+    assert abs(ns.mean() - 1.0) < 0.1  # norm-affine family
