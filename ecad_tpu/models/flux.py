@@ -57,6 +57,25 @@ def _pick(flag, compute_fn, cached):
     return jax.lax.cond(flag, compute_fn, lambda: cached)
 
 
+def _to_cache(value, c: "FluxConfig"):
+    """Cast a computed activation (pytree) to the cache-storage dtype.
+    With `cache_dtype=float8_e4m3fn` the dominant single_proj_mlp cache
+    (108 MB/block at 1024², docs/flux_hbm_accounting.md) halves vs bf16 —
+    the storage rounding (~3% per element) is second-order against the
+    staleness the schedule already tolerates (a reused entry is a WHOLE
+    previous denoise step old)."""
+    if c.cache_dtype is None:
+        return value
+    return jax.tree.map(lambda t: t.astype(c.cache_dtype), value)
+
+
+def _from_cache(value, c: "FluxConfig"):
+    """Cast a cache read back to the compute dtype (inverse of _to_cache)."""
+    if c.cache_dtype is None or value is None:
+        return value
+    return jax.tree.map(lambda t: t.astype(c.dtype), value)
+
+
 @dataclass(frozen=True)
 class FluxConfig:
     dim: int = 3072
@@ -82,6 +101,12 @@ class FluxConfig:
     #   the full-width 12B model fits one 16 GiB v5e chip (23.8 GiB
     #   bf16 → ~11.2 GiB). Same W8A8 MXU path at apply time.
     quant: Any = None
+    # None (store caches in `dtype`) or a storage dtype for the cached
+    # component activations, e.g. jnp.float8_e4m3fn — halves cache HBM,
+    # which is what lets the CACHED full-width 12B programs fit one chip
+    # at 1024² (the bf16 cache set alone is ~4 GiB there). Reads cast
+    # back to `dtype`; see _to_cache/_from_cache.
+    cache_dtype: Any = None
 
     @classmethod
     def tiny(cls, **kw) -> "FluxConfig":
@@ -342,13 +367,13 @@ class FluxDualBlock(nn.Module):
             lambda: FluxJointAttention(c, name="attn")(
                 norm_img, norm_txt, cos, sin
             ),
-            cache["full_attn"],
+            _from_cache(cache["full_attn"], c),
         )
         # cache entries stay dp-sharded across denoise steps (they are
         # carried through the scan; without a constraint GSPMD may gather)
         attn_out = logical_constraint(attn_out, (BATCH, None, EMBED))
         ctx_attn_out = logical_constraint(ctx_attn_out, (BATCH, None, EMBED))
-        new_cache["full_attn"] = (attn_out, ctx_attn_out)
+        new_cache["full_attn"] = _to_cache((attn_out, ctx_attn_out), c)
 
         img = img + gate_msa * attn_out
         norm_img2 = layer_norm(img) * (1 + scale_mlp) + shift_mlp
@@ -359,10 +384,10 @@ class FluxDualBlock(nn.Module):
             return _dense(c.dim, "ff_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype, quant=c.quant)(ff)
 
         ff = logical_constraint(
-            _pick(recompute_ff, compute_ff, cache["full_ff"]),
+            _pick(recompute_ff, compute_ff, _from_cache(cache["full_ff"], c)),
             (BATCH, None, EMBED),
         )
-        new_cache["full_ff"] = ff
+        new_cache["full_ff"] = _to_cache(ff, c)
         img = img + gate_mlp * ff
 
         txt = txt + c_gate_msa * ctx_attn_out
@@ -378,10 +403,14 @@ class FluxDualBlock(nn.Module):
             )(ffc)
 
         ffc = logical_constraint(
-            _pick(recompute_ffc, compute_ffc, cache["full_ff_context"]),
+            _pick(
+                recompute_ffc,
+                compute_ffc,
+                _from_cache(cache["full_ff_context"], c),
+            ),
             (BATCH, None, EMBED),
         )
-        new_cache["full_ff_context"] = ffc
+        new_cache["full_ff_context"] = _to_cache(ffc, c)
         txt = txt + c_gate_mlp * ffc
         return img, txt, new_cache
 
@@ -412,23 +441,23 @@ class FluxSingleBlock(nn.Module):
             lambda: _dense(
                 c.dim * c.mlp_ratio, "proj_mlp", out_axis=MLP, dtype=c.dtype, quant=c.quant
             )(normed),
-            cache["single_proj_mlp"],
+            _from_cache(cache["single_proj_mlp"], c),
         )
         # the dominant cache (4 GiB/img at 1024², docs/flux_hbm_accounting.md)
         # lives at MLP width → shard it over tp as well as dp
         mlp = logical_constraint(mlp, (BATCH, None, MLP))
-        new_cache["single_proj_mlp"] = mlp  # cached PRE-activation
+        new_cache["single_proj_mlp"] = _to_cache(mlp, c)  # PRE-activation
         mlp_act = nn.gelu(mlp, approximate=True)
 
         attn = logical_constraint(
             _pick(
                 recompute_attn,
                 lambda: FluxSingleAttention(c, name="attn")(normed, cos, sin),
-                cache["single_attn"],
+                _from_cache(cache["single_attn"], c),
             ),
             (BATCH, None, EMBED),
         )
-        new_cache["single_attn"] = attn
+        new_cache["single_attn"] = _to_cache(attn, c)
 
         def compute_out():
             joint = jnp.concatenate([attn, mlp_act], axis=-1)
@@ -437,10 +466,14 @@ class FluxSingleBlock(nn.Module):
             )(joint)
 
         out = logical_constraint(
-            _pick(recompute_out, compute_out, cache["single_proj_out"]),
+            _pick(
+                recompute_out,
+                compute_out,
+                _from_cache(cache["single_proj_out"], c),
+            ),
             (BATCH, None, EMBED),
         )
-        new_cache["single_proj_out"] = out
+        new_cache["single_proj_out"] = _to_cache(out, c)
 
         return residual + gate * out, new_cache
 

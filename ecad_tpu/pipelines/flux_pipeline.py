@@ -219,19 +219,21 @@ class FluxPopulationDenoiser:
             n_slots = c.num_blocks + c.num_single_blocks
             t_img = noise.shape[1]
             s = c.text_len + t_img
-            # dense cache init (the cond path needs every entry present)
+            # dense cache init (the cond path needs every entry present);
+            # stored in cache_dtype when set (models/flux.py _to_cache)
+            cdt = c.cache_dtype or c.dtype
             cache = {}
             for i in range(c.num_blocks):
-                z = jnp.zeros((b, t_img, c.dim), c.dtype)
-                zt = jnp.zeros((b, c.text_len, c.dim), c.dtype)
+                z = jnp.zeros((b, t_img, c.dim), cdt)
+                zt = jnp.zeros((b, c.text_len, c.dim), cdt)
                 cache[f"full_attn_{i}"] = (z, zt)
                 cache[f"full_ff_{i}"] = z
                 cache[f"full_ff_context_{i}"] = zt
-            zj = jnp.zeros((b, s, c.dim), c.dtype)
+            zj = jnp.zeros((b, s, c.dim), cdt)
             for i in range(c.num_single_blocks):
                 cache[f"single_attn_{i}"] = zj
                 cache[f"single_proj_mlp_{i}"] = jnp.zeros(
-                    (b, s, c.dim * c.mlp_ratio), c.dtype
+                    (b, s, c.dim * c.mlp_ratio), cdt
                 )
                 cache[f"single_proj_out_{i}"] = zj
 

@@ -218,3 +218,85 @@ def test_flux_attention_routes_through_backend_switch(tiny, monkeypatch):
     )
     # one joint attention per dual block + one per single block
     assert len(calls) == config.num_blocks + config.num_single_blocks
+
+
+def test_cache_dtype_f8_storage(tiny):
+    """cache_dtype=float8_e4m3fn stores cached component activations at
+    half the bytes (the lever that fits the cached full-width 12B
+    programs on one 16 GiB chip at 1024²); reads cast back to the
+    compute dtype, and the end-to-end rounding stays small against a
+    recompute baseline."""
+    import dataclasses
+
+    config, model, params = tiny
+    cfg8 = dataclasses.replace(config, cache_dtype=jnp.float8_e4m3fn)
+    model8 = FluxTransformer(cfg8)
+    lat, txt, pooled, t, g = _inputs(config)
+    full = full_flux_mask(config)
+    none = full_flux_mask(config, False)
+
+    ref, _ = model.apply(
+        {"params": params}, lat, txt, pooled, t, g, {}, full, (4, 4)
+    )
+    out1, cache1 = model8.apply(
+        {"params": params}, lat, txt, pooled, t, g, {}, full, (4, 4)
+    )
+    # recompute-everything output is exact (caches written, never read)
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+    # stored at half width
+    assert cache1["single_proj_mlp_0"].dtype == jnp.float8_e4m3fn
+    assert cache1["full_attn_0"][0].dtype == jnp.float8_e4m3fn
+    # all-cached replay only adds the f8 storage rounding
+    out2, _ = model8.apply(
+        {"params": params}, lat, txt, pooled, t, g, cache1, none, (4, 4)
+    )
+    ref_np = np.asarray(ref, np.float32)
+    rel = np.linalg.norm(np.asarray(out2, np.float32) - ref_np) / max(
+        np.linalg.norm(ref_np), 1e-9
+    )
+    assert np.isfinite(np.asarray(out2, np.float32)).all()
+    assert rel < 0.08, rel
+
+
+def test_cache_dtype_f8_dynamic_mode(tiny):
+    """The population (lax.cond) denoiser carries f8 caches through the
+    step scan: run a random schedule and bound the drift against the
+    bf16-cache specialized pipeline."""
+    import dataclasses
+
+    from ecad_tpu.pipelines.flux_pipeline import FluxPopulationDenoiser
+
+    config, _, params = tiny
+    cfg8 = dataclasses.replace(config, cache_dtype=jnp.float8_e4m3fn)
+    rng = np.random.default_rng(7)
+    n_slots = (config.num_blocks + config.num_single_blocks) * 3
+    pcfg8 = FluxPipelineConfig(
+        model=cfg8, num_inference_steps=STEPS, height=64, width=64
+    )
+    pcfg = FluxPipelineConfig(
+        model=config, num_inference_steps=STEPS, height=64, width=64
+    )
+    den = FluxPopulationDenoiser(FluxPipeline(pcfg8, params))
+    _, txt, pooled, _, _ = _inputs(config)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(5), (2, pcfg8.image_seq_len, config.in_channels)
+    )
+    genome = rng.random(STEPS * n_slots) < 0.5
+    sched = FluxCacheSchedule.from_numpy(
+        genome, STEPS, config.num_blocks,
+        num_single_blocks=config.num_single_blocks,
+    )
+    want = FluxPipeline(pcfg, params, sched).build_denoise_fn(donate=False)(
+        params, noise, txt, pooled
+    )
+    masks = np.array(sched.mask, dtype=bool).reshape(STEPS, -1, 3)
+    masks[0] = True
+    got = den.denoise(masks, noise, txt, pooled)
+    w = np.asarray(want, np.float32)
+    rel = np.linalg.norm(np.asarray(got, np.float32) - w) / max(
+        np.linalg.norm(w), 1e-9
+    )
+    assert np.isfinite(np.asarray(got, np.float32)).all()
+    assert rel < 0.1, rel
