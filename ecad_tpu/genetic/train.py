@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random-seed-gen-0", action="store_true",
                    help="seed gen 0 randomly without asking (reference asks "
                         "interactively, train_nsga2_base.py:184-252)")
+    p.add_argument("--cache-dtype", choices=["float8_e4m3fn"], default=None,
+                   help="storage dtype for cached component activations"
+                   " (FLUX only; halves cache HBM, docs/quantization.md)")
     p.add_argument("--quant", choices=["int8", "int8_w"], default=None,
                    help="serving quantization for the denoiser's block"
                    " projections (ops/quant.py): 'int8' = W8A8 dynamic on"
@@ -114,6 +117,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--print-not-submit", action="store_true",
                    help="describe the eval work instead of running it")
     return p
+
+
+def _cache_dtype(args):
+    if getattr(args, "cache_dtype", None) is None:
+        return None
+    import jax.numpy as jnp
+
+    return jnp.dtype(args.cache_dtype)
 
 
 def initialize_manager(args) -> PopulationIOManager:
@@ -373,9 +384,10 @@ def _build_flux_evaluator(args):
             )
     else:
         config = (
-            FluxConfig.tiny(dtype=jnp.float32, quant=args.quant)
+            FluxConfig.tiny(dtype=jnp.float32, quant=args.quant,
+                            cache_dtype=_cache_dtype(args))
             if args.tiny_model
-            else FluxConfig(quant=args.quant)
+            else FluxConfig(quant=args.quant, cache_dtype=_cache_dtype(args))
         )
         _, params = init_flux_params(config, args.seed)
         height = 64 if args.tiny_model else 256

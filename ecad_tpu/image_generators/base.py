@@ -43,6 +43,7 @@ class ImageGenerator(ABC):
     guidance_scale: float = 4.5
 
     schedule_cls: type[CacheSchedule] = CacheSchedule
+    supports_cache_dtype = False  # FLUX generators opt in
 
     def __init__(
         self,
@@ -54,6 +55,7 @@ class ImageGenerator(ABC):
         num_inference_steps: Optional[int] = None,
         batch_size: int = 8,
         quant: Optional[str] = None,
+        cache_dtype: Optional[str] = None,
     ) -> None:
         self.start_seed = start_seed
         self.seed_step = seed_step
@@ -64,6 +66,15 @@ class ImageGenerator(ABC):
         # storage): serving quantization for the transformer's block
         # projections (ops/quant.py). Threaded into model_config().
         self.quant = quant
+        # None | "float8_e4m3fn": storage dtype for cached component
+        # activations (FLUX; models/flux.py _to_cache) — halves cache
+        # HBM for the 12B-on-one-chip 1024² path.
+        if cache_dtype is not None and not self.supports_cache_dtype:
+            raise ValueError(
+                "cache_dtype is a FLUX option (models/flux.py); "
+                f"{type(self).__name__} stores caches in the compute dtype"
+            )
+        self.cache_dtype = cache_dtype
         self.num_inference_steps = (
             num_inference_steps or self.default_num_inference_steps
         )
@@ -344,4 +355,5 @@ class ImageGenerator(ABC):
             "guidance_scale": self.guidance_scale,
             "random_weights": self.random_weights,
             "quant": self.quant,
+            "cache_dtype": self.cache_dtype,
         }

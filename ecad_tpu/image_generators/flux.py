@@ -24,6 +24,7 @@ from .base import ImageGenerator
 
 class FluxImageGenerator(ImageGenerator):
     schedule_cls = FluxCacheSchedule
+    supports_cache_dtype = True
     default_transformer_weights = "black-forest-labs/FLUX.1-dev"
     default_pipeline_weights = "black-forest-labs/FLUX.1-dev"
     default_pipeline = "flux"
@@ -51,7 +52,12 @@ class FluxImageGenerator(ImageGenerator):
         )
 
     def model_config(self) -> FluxConfig:
-        return FluxConfig(quant=self.quant)
+        cdt = None
+        if self.cache_dtype is not None:
+            import jax.numpy as jnp
+
+            cdt = jnp.dtype(self.cache_dtype)
+        return FluxConfig(quant=self.quant, cache_dtype=cdt)
 
     def create_encoder_pipeline(self):
         if self._encoder is not None:
@@ -180,7 +186,10 @@ class TinyFluxImageGenerator(FluxImageGenerator):
         super().__init__(*args, **kwargs)
 
     def model_config(self) -> FluxConfig:
-        return FluxConfig.tiny(dtype=jnp.float32)
+        cdt = None
+        if self.cache_dtype is not None:
+            cdt = jnp.dtype(self.cache_dtype)
+        return FluxConfig.tiny(dtype=jnp.float32, cache_dtype=cdt)
 
     def _load_schedule_file(self, schedule_path):
         import numpy as _np

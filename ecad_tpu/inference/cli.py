@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
         " kernels as int8, halving weight HBM — fits full-width 12B FLUX"
         " on one 16 GiB v5e chip; see ecad_tpu/ops/quant.py)",
     )
+    p.add_argument(
+        "--cache-dtype", choices=["float8_e4m3fn"], default=None,
+        help="storage dtype for cached component activations (FLUX only;"
+        " halves cache HBM — what fits the cached full-width 12B programs"
+        " on one chip at 1024²; see docs/quantization.md)",
+    )
     return p
 
 
@@ -76,6 +82,7 @@ def main(argv=None) -> None:
         num_inference_steps=args.num_inference_steps,
         batch_size=args.batch_size,
         quant=args.quant,
+        cache_dtype=args.cache_dtype,
     )
     if args.height:
         gen.height = args.height

@@ -63,10 +63,18 @@ def _to_cache(value, c: "FluxConfig"):
     (108 MB/block at 1024², docs/flux_hbm_accounting.md) halves vs bf16 —
     the storage rounding (~3% per element) is second-order against the
     staleness the schedule already tolerates (a reused entry is a WHOLE
-    previous denoise step old)."""
+    previous denoise step old).
+
+    The optimization_barrier forces the f8 tensor to MATERIALIZE at the
+    producing block: without it XLA sinks the convert into the
+    step-t+k cache-read consumer and keeps the producer's fp32 dequant
+    output (4× the bytes) live across denoise steps instead — measured
+    +1.1 GB of f32[4608,3072] proj_out temps on the 12B 1024² program."""
     if c.cache_dtype is None:
         return value
-    return jax.tree.map(lambda t: t.astype(c.cache_dtype), value)
+    return jax.lax.optimization_barrier(
+        jax.tree.map(lambda t: t.astype(c.cache_dtype), value)
+    )
 
 
 def _from_cache(value, c: "FluxConfig"):

@@ -72,3 +72,35 @@ def test_mutually_exclusive_sources():
     )
     assert r.returncode != 0
     assert "not allowed with" in r.stderr
+
+
+def test_flux_cache_dtype_flag(tmp_path):
+    """--cache-dtype float8_e4m3fn rides the CLI into FluxConfig and the
+    tiny FLUX pipeline still produces an image (f8 cache storage,
+    docs/quantization.md)."""
+    r = _run(
+        [
+            "TinyFluxImageGenerator",
+            "--prompt", "a tiny f8-cache test",
+            "--output-dir", str(tmp_path),
+            "--num-inference-steps", "2",
+            "--cache-dtype", "float8_e4m3fn",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert len(list((tmp_path / "images").glob("*.png"))) == 1
+
+
+def test_pixart_cache_dtype_rejected(tmp_path):
+    """PixArt generators reject --cache-dtype (FLUX-only option)."""
+    r = _run(
+        [
+            "TinyPixArtImageGenerator",
+            "--prompt", "x",
+            "--output-dir", str(tmp_path),
+            "--num-inference-steps", "2",
+            "--cache-dtype", "float8_e4m3fn",
+        ]
+    )
+    assert r.returncode != 0
+    assert "cache_dtype" in (r.stderr + r.stdout)
