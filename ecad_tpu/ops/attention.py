@@ -124,10 +124,13 @@ _LOG2E = 1.4426950408889634
 #     vs 11.9 ms streaming flash and 11.1 ms XLA (the r2 kernel lost
 #     this regime; the clamped chunked kernel wins it despite the
 #     72→128 lane pad; matmul-only floor 8.4 ms — at the floor).
-# bq: with the clamp the smaller 256 q-block wins both regimes (3.56 vs
-# 3.66 at bq=512 for D128); the max-subtract variant preferred 512.
+# bq: D128 measurements straddle run-to-run noise (256: 3.56 then 3.80;
+# 512: 3.66 then 3.49 across two shootout runs) — keep 256. The padded-D
+# regime's first true sweep (the original sweep mutated the wrong knob,
+# see bench_attention_kernels.py) says 512: 8.44 vs 8.70 at 256, 9.08
+# at 128 (B8H16T4096D72).
 _ROWBLOCK_BLOCK_Q = 256
-_ROWBLOCK_BLOCK_Q_PADDED_D = 256
+_ROWBLOCK_BLOCK_Q_PADDED_D = 512
 _ROWBLOCK_MAX_KV_ELEMS = 8192 * 128
 
 

@@ -20,7 +20,11 @@ Numerics of the storage mode are bounded in tests/test_quant.py
 (W8A8 rel-err ≤ 8% at fp32 tiny config; per-layer ~1%). Wall-clock is
 weight-independent, so random int8-family weights measure the real thing.
 
-Usage: python scripts/flux_12b_single_chip.py [batch]
+Caches store as float8_e4m3fn (FluxConfig.cache_dtype) — at 256² that
+is not needed for batch 1 but lets multi-image batches keep their
+cache sets on chip (the A6000 reference row is batch 18).
+
+Usage: python scripts/flux_12b_single_chip.py [batch] [row ...]
 """
 
 from __future__ import annotations
@@ -74,9 +78,16 @@ def main() -> None:
     )
     from ecad_tpu.schedules import FluxCacheSchedule
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    import jax.numpy as jnp
 
-    config = FluxConfig(quant="int8_w")  # dim 3072, 19 + 38 blocks
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    rows = sys.argv[2:] or list(LADDER)
+    unknown = [r for r in rows if r not in LADDER]
+    assert not unknown, f"unknown rows {unknown}; choose from {list(LADDER)}"
+
+    config = FluxConfig(  # dim 3072, 19 + 38 blocks
+        quant="int8_w", cache_dtype=jnp.float8_e4m3fn
+    )
     shape_tree = jax.eval_shape(lambda: init_flux_params(config, 0)[1])
     n_params = sum(
         int(np.prod(l.shape)) for l in jax.tree.leaves(shape_tree)
@@ -108,7 +119,7 @@ def main() -> None:
 
     results = {}
     t_uncached = None
-    for name in LADDER:
+    for name in rows:
         sched = (
             None
             if name == "uncached"
@@ -134,17 +145,18 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "flux_12b_single_chip_ours_fast_absolute",
-                "value": results["ours_fast"]["ms_per_image"],
+                "metric": f"flux_12b_single_chip_{rows[-1]}_absolute",
+                "value": results[rows[-1]]["ms_per_image"],
                 "unit": "ms_per_image",
-                "vs_baseline": results["ours_fast"][
+                "vs_baseline": results[rows[-1]][
                     "absolute_speedup_vs_a6000"
                 ],
                 "detail": {
                     "batch": batch,
                     "params_B": round(n_params / 1e9, 3),
                     "weight_GiB": round(weight_bytes / GIB, 2),
-                    "quant": "int8_w (W8A8, int8 MXU)",
+                    "quant": "int8_w (W8A8, int8 MXU)"
+                    " + float8_e4m3fn cache storage",
                     "protocol": "20-step denoise + VAE decode to uint8,"
                     " 256², same-width model as the reference's A6000",
                     "device": str(jax.devices()[0]),
