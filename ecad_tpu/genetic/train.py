@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel mesh axis size (heads / MLP "
                         "hidden; FLUX-scale models on v5e need tp>=2, see "
                         "docs/flux_hbm_accounting.md)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel mesh axis size (image/joint "
+                        "TOKEN axis — activations and cache pytrees split "
+                        "1/sp per chip, attention all-gathers K/V over sp; "
+                        "the lever for 1024² cache HBM)")
     p.add_argument("--eval-mode", default="dynamic",
                    choices=["dynamic", "stepwise"],
                    help="candidate-eval execution mode (EvalConfig.mode): "
@@ -217,12 +222,13 @@ def _encoded_entries(args, generator):
 
 
 def _build_mesh(args):
-    """Mesh from --dp/--tp (None when neither is set)."""
-    if not args.dp and args.tp <= 1:
+    """Mesh from --dp/--sp/--tp (None when none is set)."""
+    sp = getattr(args, "sp", 1)
+    if not args.dp and args.tp <= 1 and sp <= 1:
         return None
     from ..parallel import create_mesh
 
-    return create_mesh(dp=args.dp or None, tp=args.tp)
+    return create_mesh(dp=args.dp or None, tp=args.tp, sp=sp)
 
 
 def _shard_pipeline(pipeline, mesh, init_fn, *init_args):

@@ -25,14 +25,18 @@ MLP = "mlp"
 HEADS = "heads"
 KV = "kv"
 BATCH = "batch"
+SEQ = "seq"  # image/joint token axis; sharded only on an sp mesh
 
-# logical axis → mesh axis
+# logical axis → mesh axis. SEQ→"sp" resolves to None on the dp×tp
+# meshes (no "sp" axis present), so sequence-parallel annotations are
+# free until an sp mesh is created (parallel.create_mesh(sp=...)).
 LOGICAL_AXIS_RULES: tuple[tuple[str, str | None], ...] = (
     (EMBED, None),
     (MLP, "tp"),
     (HEADS, "tp"),
     (KV, None),
     (BATCH, "dp"),
+    (SEQ, "sp"),
 )
 
 
@@ -400,42 +404,61 @@ def _active_multidevice_mesh():
 
 
 def _shard_map_attention(kernel, mesh, q, k, v, bias):
-    """Run an attention `kernel(q, k, v, bias)` under shard_map on a dp×tp
-    mesh: batch shards over "dp", heads over "tp" — attention has no
-    cross-batch/cross-head dataflow, so per-shard kernels need no
+    """Run an attention `kernel(q, k, v, bias)` under shard_map on a
+    dp×(sp×)tp mesh: batch shards over "dp", heads over "tp" — attention
+    has no cross-batch/cross-head dataflow, so those axes need no
+    collectives. On an sp (sequence-parallel) mesh the query tokens shard
+    over "sp" too; for self/joint attention (no bias, Tk divisible) K/V
+    arrive sp-sharded and are all-gathered along "sp" inside the shard —
+    one ICI all-gather per attention in exchange for 1/sp of the score
+    and output work per chip. Biased cross-attention keeps K/V (text,
+    short) and the key-padding bias whole per shard: exact with zero
     collectives. Returns None when the mesh axes or shapes don't divide
     (caller falls back to XLA, which auto-partitions)."""
     from jax.sharding import PartitionSpec as P
 
     names = set(mesh.axis_names)
-    if not names <= {"dp", "tp"}:
+    if not names <= {"dp", "sp", "tp"}:
         return None
     dp = mesh.shape.get("dp", 1)
+    sp = mesh.shape.get("sp", 1)
     tp = mesh.shape.get("tp", 1)
-    b, _, h, _ = q.shape
+    b, tq, h, _ = q.shape
     if b % dp or h % tp:
+        return None
+    saxis = "sp" if sp > 1 else None
+    if saxis and tq % sp:
         return None
     baxis = "dp" if dp > 1 else None
     haxis = "tp" if tp > 1 else None
-    spec = P(baxis, None, haxis, None)
+    q_spec = P(baxis, saxis, haxis, None)
+    gather_kv = saxis is not None and bias is None and k.shape[1] % sp == 0
+    kv_spec = P(baxis, saxis if gather_kv else None, haxis, None)
+
+    def run(q_, k_, v_, bias_):
+        if gather_kv:
+            k_ = jax.lax.all_gather(k_, "sp", axis=1, tiled=True)
+            v_ = jax.lax.all_gather(v_, "sp", axis=1, tiled=True)
+        return kernel(q_, k_, v_, bias_)
+
     if bias is None:
         fn = jax.shard_map(
-            lambda q_, k_, v_: kernel(q_, k_, v_, None),
-            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-            check_vma=False,
+            lambda q_, k_, v_: run(q_, k_, v_, None),
+            mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec),
+            out_specs=q_spec, check_vma=False,
         )
         return fn(q, k, v)
     bias_spec = P(
         baxis if bias.shape[0] == b else None,
         haxis if bias.shape[1] == h else None,
-        None,
+        saxis if (saxis and bias.shape[2] == tq) else None,
         None,
     )
     fn = jax.shard_map(
-        kernel,
+        run,
         mesh=mesh,
-        in_specs=(spec, spec, spec, bias_spec),
-        out_specs=spec,
+        in_specs=(q_spec, kv_spec, kv_spec, bias_spec),
+        out_specs=q_spec,
         check_vma=False,
     )
     return fn(q, k, v, bias)

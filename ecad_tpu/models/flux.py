@@ -36,6 +36,7 @@ from .common import (
     EMBED,
     HEADS,
     MLP,
+    SEQ,
     TimestepEmbedding,
     dot_product_attention,
     layer_norm,
@@ -379,8 +380,8 @@ class FluxDualBlock(nn.Module):
         )
         # cache entries stay dp-sharded across denoise steps (they are
         # carried through the scan; without a constraint GSPMD may gather)
-        attn_out = logical_constraint(attn_out, (BATCH, None, EMBED))
-        ctx_attn_out = logical_constraint(ctx_attn_out, (BATCH, None, EMBED))
+        attn_out = logical_constraint(attn_out, (BATCH, SEQ, EMBED))
+        ctx_attn_out = logical_constraint(ctx_attn_out, (BATCH, SEQ, EMBED))
         new_cache["full_attn"] = _to_cache((attn_out, ctx_attn_out), c)
 
         img = img + gate_msa * attn_out
@@ -393,7 +394,7 @@ class FluxDualBlock(nn.Module):
 
         ff = logical_constraint(
             _pick(recompute_ff, compute_ff, _from_cache(cache["full_ff"], c)),
-            (BATCH, None, EMBED),
+            (BATCH, SEQ, EMBED),
         )
         new_cache["full_ff"] = _to_cache(ff, c)
         img = img + gate_mlp * ff
@@ -416,7 +417,7 @@ class FluxDualBlock(nn.Module):
                 compute_ffc,
                 _from_cache(cache["full_ff_context"], c),
             ),
-            (BATCH, None, EMBED),
+            (BATCH, SEQ, EMBED),
         )
         new_cache["full_ff_context"] = _to_cache(ffc, c)
         txt = txt + c_gate_mlp * ffc
@@ -453,7 +454,7 @@ class FluxSingleBlock(nn.Module):
         )
         # the dominant cache (4 GiB/img at 1024², docs/flux_hbm_accounting.md)
         # lives at MLP width → shard it over tp as well as dp
-        mlp = logical_constraint(mlp, (BATCH, None, MLP))
+        mlp = logical_constraint(mlp, (BATCH, SEQ, MLP))
         new_cache["single_proj_mlp"] = _to_cache(mlp, c)  # PRE-activation
         mlp_act = nn.gelu(mlp, approximate=True)
 
@@ -463,7 +464,7 @@ class FluxSingleBlock(nn.Module):
                 lambda: FluxSingleAttention(c, name="attn")(normed, cos, sin),
                 _from_cache(cache["single_attn"], c),
             ),
-            (BATCH, None, EMBED),
+            (BATCH, SEQ, EMBED),
         )
         new_cache["single_attn"] = _to_cache(attn, c)
 
@@ -479,7 +480,7 @@ class FluxSingleBlock(nn.Module):
                 compute_out,
                 _from_cache(cache["single_proj_out"], c),
             ),
-            (BATCH, None, EMBED),
+            (BATCH, SEQ, EMBED),
         )
         new_cache["single_proj_out"] = _to_cache(out, c)
 

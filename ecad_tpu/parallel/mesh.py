@@ -29,19 +29,32 @@ from ..models.common import (  # noqa: F401  (re-exported)
     KV,
     LOGICAL_AXIS_RULES,
     MLP,
+    SEQ,
 )
 
 
 def create_mesh(
-    dp: int | None = None, tp: int = 1, devices: Sequence | None = None
+    dp: int | None = None,
+    tp: int = 1,
+    devices: Sequence | None = None,
+    sp: int = 1,
 ) -> Mesh:
+    """dp × (sp ×) tp device mesh. ``sp`` (sequence parallel — tokens of
+    the image/joint stream, logical axis SEQ) is only materialized when
+    >1 so dp×tp call sites and their sharding specs are unchanged; tp
+    stays minormost so its per-layer all-reduces ride the fastest ICI
+    links, with sp's per-attention KV all-gathers next."""
     devs = list(devices if devices is not None else jax.devices())
     if dp is None:
-        dp = len(devs) // tp
-    if dp * tp != len(devs):
-        raise ValueError(f"dp*tp={dp * tp} != {len(devs)} devices")
-    arr = np.array(devs).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+        dp = len(devs) // (tp * sp)
+    if dp * tp * sp != len(devs):
+        raise ValueError(
+            f"dp*sp*tp={dp * sp * tp} != {len(devs)} devices"
+        )
+    if sp == 1:
+        return Mesh(np.array(devs).reshape(dp, tp), ("dp", "tp"))
+    arr = np.array(devs).reshape(dp, sp, tp)
+    return Mesh(arr, ("dp", "sp", "tp"))
 
 
 def param_shardings(variables_or_params: Any, mesh: Mesh):

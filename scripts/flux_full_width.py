@@ -19,7 +19,7 @@ This script produces the two pieces of compiler/executor evidence:
          compiled.memory_analysis() per-chip bytes next to the analytic
          table in docs/flux_hbm_accounting.md.
 
-Usage: python scripts/flux_full_width.py {cpu|aot}
+Usage: python scripts/flux_full_width.py {cpu|aot|aot-sp [sp]}
 """
 
 from __future__ import annotations
@@ -312,7 +312,7 @@ def stage_cpu() -> None:
     )
 
 
-def stage_aot() -> None:
+def stage_aot(sp: int = 1) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -334,7 +334,19 @@ def stage_aot() -> None:
     devs = topo.devices
     assert devs[0].device_kind == "TPU v5 lite", devs[0].device_kind
     assert len(devs) >= 8, f"topology has {len(devs)} devices"
-    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("dp", "tp"))
+    if sp > 1:
+        # sequence-parallel variant: dp=1 × sp × tp — tokens shard over
+        # sp, halving the dominant per-token temporaries (cache pytree +
+        # activations); see docs/flux_hbm_accounting.md "Sequence
+        # parallelism".
+        tp = 8 // sp
+        mesh = Mesh(
+            np.array(devs[:8]).reshape(1, sp, tp), ("dp", "sp", "tp")
+        )
+        mesh_label = f"dp=1 x sp={sp} x tp={tp} (v5e-8 topology, AOT)"
+    else:
+        mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("dp", "tp"))
+        mesh_label = "dp=2 x tp=4 (v5e-8 topology, AOT)"
 
     config = FluxConfig()
     model = FluxTransformer(config)
@@ -373,7 +385,7 @@ def stage_aot() -> None:
     denoiser = FluxPopulationDenoiser(pipe)
     fn = denoiser._build()  # the jitted scan program
 
-    b = 2  # one image per dp shard
+    b = 2 if sp == 1 else 1  # one image per dp shard
     bsh = NamedSharding(mesh, P("dp"))
     rsh = NamedSharding(mesh, P())
     n_slots = config.num_blocks + config.num_single_blocks
@@ -395,7 +407,8 @@ def stage_aot() -> None:
         compiled = lowered.compile()
     ma = compiled.memory_analysis()
     result = {
-        "metric": "flux_full_width_v5e8_aot_bytes_per_chip",
+        "metric": "flux_full_width_v5e8_aot_bytes_per_chip"
+        + ("_sp%d" % sp if sp > 1 else ""),
         "value": round(
             (
                 ma.argument_size_in_bytes
@@ -407,7 +420,7 @@ def stage_aot() -> None:
         ),
         "unit": "GiB",
         "detail": {
-            "mesh": "dp=2 x tp=4 (v5e-8 topology, AOT)",
+            "mesh": mesh_label,
             "program": "dynamic-mode 20-step 1024^2 denoise (lax.cond, "
             "dense cache), batch 1/dp shard",
             "argument_GiB": round(ma.argument_size_in_bytes / GIB, 3),
@@ -428,6 +441,8 @@ def main(argv=None) -> None:
         stage_cpu()
     elif stage == "aot":
         stage_aot()
+    elif stage == "aot-sp":
+        stage_aot(sp=int(argv[1]) if len(argv) > 1 else 2)
     else:
         raise SystemExit(f"unknown stage {stage!r}")
 

@@ -145,3 +145,48 @@ def test_dispatcher_xla_fallback_under_mesh_matches():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+def _sp_mesh(dp, sp, tp):
+    devs = np.array(jax.devices()[: dp * sp * tp]).reshape(dp, sp, tp)
+    return Mesh(devs, ("dp", "sp", "tp"))
+
+
+@pytest.mark.parametrize("dp,sp,tp", [(2, 2, 2), (1, 8, 1), (1, 2, 4)])
+@pytest.mark.parametrize("bias_name", ["none", "key_padding", "dense"])
+def test_sp_mesh_attention(dp, sp, tp, bias_name):
+    """Sequence-parallel meshes: query tokens shard over "sp". With no
+    bias K/V arrive sp-sharded and are all-gathered inside the shard
+    (self/joint attention); with a bias K/V and the bias stay whole per
+    shard (cross-attention), a dense bias sharding its Tq axis with q.
+    All variants must be exact vs XLA."""
+    q, k, v = _qkv()
+    bias = BIASES[bias_name]()
+    want = jax.nn.dot_product_attention(q, k, v, bias=bias)
+    kernel = lambda q_, k_, v_, b_: A.fused_attention(  # noqa: E731
+        q_, k_, v_, bias=b_, interpret=True
+    )
+    got = _shard_map_attention(kernel, _sp_mesh(dp, sp, tp), q, k, v, bias)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_sp_mesh_fallbacks():
+    """sp that does not divide the query tokens → None (XLA fallback);
+    kv tokens not dividing sp with no bias → kv kept whole (still exact)."""
+    q, k, v = _qkv()
+    kernel = lambda q_, k_, v_, b_: A.fused_attention(  # noqa: E731
+        q_, k_, v_, bias=b_, interpret=True
+    )
+    assert (
+        _shard_map_attention(kernel, _sp_mesh(1, 4, 2), q[:, :126], k, v, None)
+        is None
+    )
+    # Tk=120 % sp=4 != 0: q shards, kv replicated, no all-gather — exact
+    ks, vs = k[:, :120], v[:, :120]
+    want = jax.nn.dot_product_attention(q, ks, vs)
+    got = _shard_map_attention(kernel, _sp_mesh(1, 4, 2), q, ks, vs, None)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
