@@ -303,6 +303,30 @@ def random_serving_params(
     return jax.tree.unflatten(treedef, filled)
 
 
+_LOCAL_ATTENTION = False
+
+
+class local_attention:
+    """Context manager forcing `dot_product_attention` to run its kernel
+    directly, skipping mesh detection and the shard_map wrapper. Required
+    when tracing attention INSIDE an existing shard_map body (e.g. the
+    pipeline-parallel stage functions in parallel/pipeline.py): nested
+    shard_map is not allowed, and inside a shard the operands are already
+    local, so per-shard semantics are exactly single-device semantics.
+    Trace-time only — the flag gates Python dispatch, not runtime state."""
+
+    def __enter__(self):
+        global _LOCAL_ATTENTION
+        self._prev = _LOCAL_ATTENTION
+        _LOCAL_ATTENTION = True
+        return self
+
+    def __exit__(self, *exc):
+        global _LOCAL_ATTENTION
+        _LOCAL_ATTENTION = self._prev
+        return False
+
+
 def set_attention_backend(name: str) -> None:
     """Select the attention implementation: "xla"
     (jax.nn.dot_product_attention) or "pallas" (ecad_tpu.ops.fused_attention,
@@ -496,10 +520,14 @@ def dot_product_attention(
                 q_, k_, v_, bias=b_
             )
     if kernel is not None:
+        if _LOCAL_ATTENTION:
+            # inside a shard_map body (parallel/pipeline.py): operands are
+            # already local — run the kernel directly, never re-wrap
+            return kernel(q, k, v, bias)
         try:
             mesh = _active_multidevice_mesh()
         except RuntimeError:
-            kernel = None  # can't prove single-device; stay on XLA
+            kernel = None  # can't prove single-device; stay on TPU XLA
         if kernel is not None:
             if mesh is None:
                 return kernel(q, k, v, bias)

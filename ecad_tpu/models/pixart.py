@@ -339,6 +339,50 @@ class PixArtTransformer(nn.Module):
         enc_kv = tuple(block.cross_kv(enc) for block in self.blocks)
         return enc, enc_kv
 
+    def process_input(
+        self,
+        latents: jax.Array,
+        text_embeds: jax.Array,
+        timestep: jax.Array,
+        text_mask: Optional[jax.Array] = None,
+        resolution: Optional[jax.Array] = None,
+        aspect_ratio: Optional[jax.Array] = None,
+        text_precomputed: Optional[tuple] = None,
+    ):
+        """Everything before the block stage (the reference's
+        _process_input, pixart_transformer_2d_edited.py:293-330): patchify
+        + pos embed, adaln modulation, caption projection, text bias.
+        Split out so alternative block-stage drivers (the pipeline-parallel
+        harness in parallel/pipeline.py) can reuse it via
+        `model.apply(vars, ..., method=PixArtTransformer.process_input)`."""
+        h = self.patchify(latents)
+        t6, emb_t = self.adaln_single(timestep, resolution, aspect_ratio)
+        if text_precomputed is not None:
+            enc, enc_kv = text_precomputed
+        else:
+            enc = self.caption_projection(text_embeds)
+            enc_kv = None
+        enc_bias = None
+        if text_mask is not None:
+            enc_bias = ((1.0 - text_mask.astype(jnp.float32)) * -10000.0)[
+                :, None, None, :
+            ].astype(h.dtype)
+        return h, t6, emb_t, enc, enc_kv, enc_bias
+
+    def create_output(
+        self, h: jax.Array, emb_t: jax.Array, gh: int, gw: int
+    ) -> jax.Array:
+        """Final modulated projection + unpatchify (the reference's
+        _create_output, pixart_transformer_2d_edited.py:332-376)."""
+        table = self.final_scale_shift_table
+        shift, scale = (
+            table[None].astype(jnp.float32)
+            + emb_t[:, None].astype(jnp.float32)
+        ).astype(h.dtype).transpose(1, 0, 2)
+        h = layer_norm(h) * (1 + scale[:, None]) + shift[:, None]
+        h = self.proj_out(h)
+        return self.unpatchify(h, gh, gw)
+
     def __call__(
         self,
         latents: jax.Array,  # (B, H, W, C) NHWC
@@ -356,32 +400,16 @@ class PixArtTransformer(nn.Module):
         b, hh, ww, _ = latents.shape
         gh, gw = hh // c.patch_size, ww // c.patch_size
 
-        h = self.patchify(latents)
-        t6, emb_t = self.adaln_single(timestep, resolution, aspect_ratio)
-        if text_precomputed is not None:
-            enc, enc_kv = text_precomputed
-        else:
-            enc = self.caption_projection(text_embeds)
-            enc_kv = None
-        enc_bias = None
-        if text_mask is not None:
-            enc_bias = ((1.0 - text_mask.astype(jnp.float32)) * -10000.0)[
-                :, None, None, :
-            ].astype(h.dtype)
+        h, t6, emb_t, enc, enc_kv, enc_bias = self.process_input(
+            latents, text_embeds, timestep, text_mask,
+            resolution, aspect_ratio, text_precomputed,
+        )
 
         h, new_cache = run_block_stage(
             self.blocks, h, enc, t6, enc_bias, cache, mask, plan, enc_kv
         )
 
-        # final modulated projection (pixart_transformer_2d_edited.py:332-376)
-        table = self.final_scale_shift_table
-        shift, scale = (
-            table[None].astype(jnp.float32)
-            + emb_t[:, None].astype(jnp.float32)
-        ).astype(h.dtype).transpose(1, 0, 2)
-        h = layer_norm(h) * (1 + scale[:, None]) + shift[:, None]
-        h = self.proj_out(h)
-        return self.unpatchify(h, gh, gw), new_cache
+        return self.create_output(h, emb_t, gh, gw), new_cache
 
 
 def run_block_stage(

@@ -1,4 +1,11 @@
 from .distributed import barrier, host_shard, initialize, is_coordinator
+from .pipeline import (
+    build_pp_forward,
+    create_pp_mesh,
+    pp_shardings,
+    stack_block_params,
+    stacked_cache,
+)
 from .mesh import (
     LOGICAL_AXIS_RULES,
     abstract_boxed_params,
@@ -21,4 +28,9 @@ __all__ = [
     "host_shard",
     "is_coordinator",
     "barrier",
+    "build_pp_forward",
+    "create_pp_mesh",
+    "pp_shardings",
+    "stack_block_params",
+    "stacked_cache",
 ]

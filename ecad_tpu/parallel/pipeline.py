@@ -1,0 +1,293 @@
+"""Pipeline parallelism (pp): GPipe-style microbatched block-stage
+execution over a "pp" mesh axis.
+
+The reference is single-GPU torch and has no pipelining of any kind
+(SURVEY.md §2.9); on TPU pods pipeline parallelism is the standard way to
+serve a model whose weights exceed one host's chips when the cross-host
+links are DCN rather than ICI: tensor parallelism pays TWO all-reduces per
+block (every hop crosses the slow link), while pp pays ONE boundary
+activation transfer per microbatch per stage. This module implements the
+inference-side harness for the PixArt tower (28 homogeneous blocks; FLUX's
+dual→single heterogeneity needs per-stage programs, out of scope for the
+SPMD harness — use tp/sp for FLUX, docs/flux_hbm_accounting.md).
+
+Design (all standard JAX, no runtime magic):
+
+* block params are STACKED along a leading (num_blocks,) axis and sharded
+  `P("pp")` — each stage holds only its `num_blocks/pp` blocks' weights
+  (the memory lever: weights divide by pp, like tp but without per-layer
+  collectives).
+* the block stage runs under `shard_map` over the ("dp", "pp") mesh:
+  batch shards over dp as usual; inside each pp shard a `lax.scan` over
+  the local stacked params applies that stage's blocks.
+* microbatches rotate stage-to-stage with `lax.ppermute` on a ring: the
+  classic GPipe schedule of T = n_micro + pp - 1 ticks, bubble fraction
+  (pp-1)/T. Invalid (bubble) ticks compute on clamped garbage and their
+  cache/output writes are masked out.
+* caches (the ECAD per-component block outputs) live WITH their stage —
+  sharded `P("pp")` on the block axis, so pp also divides the cache HBM.
+* component recompute flags are traced (the dynamic / lax.cond execution
+  mode used for population evaluation and serving), so one compiled
+  program serves every schedule.
+
+Attention inside the shard_map body runs under
+`models.common.local_attention()` — operands are already per-shard local,
+and nested shard_map is not allowed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..models.common import local_attention
+from ..models.pixart import (
+    COMPONENTS,
+    PixArtBlock,
+    PixArtConfig,
+    PixArtTransformer,
+)
+
+
+def create_pp_mesh(pp: int, dp: int = 1, devices: Any = None) -> Mesh:
+    """("dp", "pp") mesh. pp is minormost so the per-microbatch boundary
+    ppermutes ride adjacent devices; dp rows pipeline independently."""
+    devs = list(devices if devices is not None else jax.devices())
+    if dp * pp != len(devs):
+        raise ValueError(f"dp*pp={dp * pp} != {len(devs)} devices")
+    return Mesh(np.array(devs).reshape(dp, pp), ("dp", "pp"))
+
+
+def stack_block_params(params: dict, num_blocks: int):
+    """Split a PixArtTransformer params dict into (stacked block params
+    with a leading (num_blocks,) axis, the non-block remainder). The
+    remainder (patch/caption/adaln/final projections, <1% of weights) is
+    what the pre/post stages consume; flax only looks params up on use,
+    so each part can be applied without the other being present."""
+    blocks = [params[f"block_{i}"] for i in range(num_blocks)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    rest = {k: v for k, v in params.items() if not k.startswith("block_")}
+    return stacked, rest
+
+
+def stacked_cache(
+    config: PixArtConfig, batch: int, tokens: int | None = None,
+    dtype: Any = None,
+) -> dict[str, jax.Array]:
+    """Zero cache in the stacked layout {comp: (num_blocks, B, T, d)}."""
+    t = config.tokens if tokens is None else tokens
+    dt = dtype or config.dtype
+    return {
+        k: jnp.zeros((config.num_blocks, batch, t, config.dim), dt)
+        for k in COMPONENTS
+    }
+
+
+def to_stacked_cache(cache: dict[str, tuple]) -> dict[str, jax.Array]:
+    """models.pixart tuple-per-block cache → stacked (nb, B, T, d)."""
+    return {k: jnp.stack(v) for k, v in cache.items()}
+
+
+def from_stacked_cache(cache: dict[str, jax.Array]) -> dict[str, tuple]:
+    return {
+        k: tuple(v[i] for i in range(v.shape[0])) for k, v in cache.items()
+    }
+
+
+def pp_shardings(mesh: Mesh, stacked_params, cache):
+    """NamedShardings to device_put the stacked params / cache so HBM is
+    actually divided by pp at the program boundary (stage s holds blocks
+    [s*nb/pp, (s+1)*nb/pp))."""
+    bp = jax.tree.map(
+        lambda _: NamedSharding(mesh, P("pp")), stacked_params
+    )
+    ch = jax.tree.map(
+        lambda _: NamedSharding(mesh, P("pp", None, "dp")), cache
+    )
+    return bp, ch
+
+
+def build_pp_forward(model: PixArtTransformer, mesh: Mesh, n_micro: int):
+    """Build a pipeline-parallel transformer forward.
+
+    Returns ``fn(stacked_params, rest_params, latents, text_embeds,
+    timestep, cache, mask_arr, text_mask=None) -> (noise_pred,
+    new_cache)``, numerically equal to ``model.apply`` with the same
+    (traced) masks. `stacked_params`/`cache` use the stacked layouts from
+    stack_block_params/stacked_cache and should be device_put with
+    `pp_shardings` so stage weights+caches divide 1/pp per chip;
+    `mask_arr` is a traced (num_blocks, 3) bool array (the dynamic
+    lax.cond execution mode — one program for every schedule). The
+    pre/post stages (patchify/adaln/caption projection, final modulated
+    projection) run replicated under the mesh: <1% of the FLOPs — only
+    the block stage is pipelined.
+    """
+    config: PixArtConfig = model.config
+    pp = mesh.shape["pp"]
+    nb = config.num_blocks
+    if nb % pp:
+        raise ValueError(f"num_blocks={nb} not divisible by pp={pp}")
+    if config.quant is not None:
+        raise NotImplementedError("pp harness supports quant=None only")
+    block = PixArtBlock(config)
+
+    def stage_scan(bp_local, h, enc, t6, enc_bias, cache_mb, masks_local):
+        """Apply this stage's local blocks to one microbatch."""
+
+        def body(carry, xs):
+            p, cache_row, m = xs
+            with local_attention():
+                new_h, new_row = block.apply(
+                    {"params": p}, carry, enc, t6, enc_bias, cache_row,
+                    (m[0], m[1], m[2]),
+                )
+            return new_h, new_row
+
+        return jax.lax.scan(body, h, (bp_local, cache_mb, masks_local))
+
+    def pipeline_body(
+        bp_local, x_micro, enc_m, t6_m, bias_m, cache_local, masks_local
+    ):
+        """shard_map body: one pp stage. x_micro (n_micro, mb, T, d) is
+        replicated over pp; cache_local {comp: (n_local, n_micro, mb, T,
+        d)}; masks_local (n_local, 3)."""
+        s = jax.lax.axis_index("pp")
+        is_first = s == 0
+        is_last = s == pp - 1
+        recv = jnp.zeros(x_micro.shape[1:], x_micro.dtype)
+        out_buf = jnp.zeros_like(x_micro)
+        perm = [(i, (i + 1) % pp) for i in range(pp)]
+
+        for t in range(n_micro + pp - 1):
+            mb = t - s  # this stage's microbatch index at tick t
+            valid = (mb >= 0) & (mb < n_micro)
+            mb_c = jnp.clip(mb, 0, n_micro - 1)
+            take = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
+                a, mb_c, axis=0, keepdims=False
+            )
+            inp = jnp.where(is_first, take(x_micro), recv)
+            cache_mb = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, mb_c, axis=1, keepdims=False
+                ),
+                cache_local,
+            )
+            bias_mb = None if bias_m is None else take(bias_m)
+            out, new_rows = stage_scan(
+                bp_local, inp, take(enc_m), take(t6_m), bias_mb,
+                cache_mb, masks_local,
+            )
+            # masked writes: bubble ticks (and the clamped mb they alias)
+            # must not clobber real state
+            cache_local = jax.tree.map(
+                lambda a, new, old: jax.lax.dynamic_update_index_in_dim(
+                    a, jnp.where(valid, new, old), mb_c, axis=1
+                ),
+                cache_local, new_rows, cache_mb,
+            )
+            out_buf = jax.lax.dynamic_update_index_in_dim(
+                out_buf,
+                jnp.where(valid & is_last, out, take(out_buf)),
+                mb_c,
+                axis=0,
+            )
+            recv = jax.lax.ppermute(out, "pp", perm)
+        # replicate the last stage's output buffer to every stage (one
+        # boundary-sized collective; out_specs then declare it unsharded
+        # over pp)
+        out_buf = jax.lax.psum(
+            jnp.where(is_last, out_buf, jnp.zeros_like(out_buf)), "pp"
+        )
+        return out_buf, cache_local
+
+    def forward(
+        stacked_params,
+        rest_params,
+        latents,
+        text_embeds,
+        timestep,
+        cache,
+        mask_arr,
+        text_mask: Optional[jax.Array] = None,
+    ):
+        c = config
+        b, hh, ww, _ = latents.shape
+        gh, gw = hh // c.patch_size, ww // c.patch_size
+        if b % n_micro:
+            raise ValueError(f"batch {b} not divisible by n_micro={n_micro}")
+        mb = b // n_micro
+
+        h, t6, emb_t, enc, _, enc_bias = model.apply(
+            {"params": rest_params},
+            latents,
+            text_embeds,
+            timestep,
+            text_mask,
+            method=PixArtTransformer.process_input,
+        )
+
+        def micro(a):  # (B, ...) → (n_micro, mb, ...)
+            return a.reshape((n_micro, mb) + a.shape[1:])
+
+        x_micro = micro(h)
+        enc_m = micro(enc)
+        t6_m = micro(t6)
+        bias_m = None if enc_bias is None else micro(enc_bias)
+        masks = jnp.asarray(mask_arr)
+        # cache (nb, B, T, d) → (nb, n_micro, mb, T, d)
+        cache_m = jax.tree.map(
+            lambda a: a.reshape((nb, n_micro, mb) + a.shape[2:]), cache
+        )
+
+        spec = lambda t_, s_: jax.tree.map(lambda _: s_, t_)  # noqa: E731
+        act_spec = P(None, "dp")
+        cache_spec = spec(cache_m, P("pp", None, "dp"))
+        in_specs = [
+            spec(stacked_params, P("pp")),
+            act_spec,
+            act_spec,
+            act_spec,
+            act_spec,  # bias slot, dropped below when absent
+            cache_spec,
+            P("pp"),
+        ]
+        if bias_m is None:
+            del in_specs[4]
+            body = lambda bp, x, e, t6_, cl, ml: pipeline_body(  # noqa: E731
+                bp, x, e, t6_, None, cl, ml
+            )
+            args = (stacked_params, x_micro, enc_m, t6_m, cache_m, masks)
+        else:
+            body = pipeline_body
+            args = (
+                stacked_params, x_micro, enc_m, t6_m, bias_m, cache_m, masks
+            )
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(act_spec, cache_spec),
+            check_vma=False,
+        )
+        out_m, new_cache_m = fn(*args)
+
+        out = out_m.reshape((b,) + out_m.shape[2:])
+        new_cache = jax.tree.map(
+            lambda a: a.reshape((nb, b) + a.shape[3:]), new_cache_m
+        )
+        noise = model.apply(
+            {"params": rest_params},
+            out,
+            emb_t,
+            gh,
+            gw,
+            method=PixArtTransformer.create_output,
+        )
+        return noise, new_cache
+
+    return forward
