@@ -133,6 +133,19 @@ _ROWBLOCK_BLOCK_Q = 256
 _ROWBLOCK_BLOCK_Q_PADDED_D = 512
 _ROWBLOCK_MAX_KV_ELEMS = 8192 * 128
 
+# Transposed-PV kernel (lane-padded head dims, e.g. PixArt's 72): see
+# _transposed_kernel. Measured on v5e (scripts/exp_attn_variants.py,
+# `transposed` rows): B8H16T4096D72 5.90 ms vs 8.44 shipped row-block and
+# 8.3 padded matmul-only floor; B64H16T1024D72 5.29 vs 8.80 row-block /
+# 8.38 single-tile. bq=512 best at both shapes (256: 6.09 / 6.15).
+_TRANSPOSED_BLOCK_Q = 512
+# cap the kv rows per in-body chunk so the fp32 (chunk, bq) score tile
+# stays ≤4 MB next to K/Vᵀ (two chunks are alive for MXU/VPU dual-issue)
+_TRANSPOSED_MAX_CHUNK = 2048
+# below this padded fp32 score size the single-tile kernel keeps padded-D
+# shapes (launch overhead dominates; matches the models-layer auto floor)
+_TRANSPOSED_MIN_SCORE_BYTES = 1024 * 1024
+
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float
@@ -268,6 +281,168 @@ def _rowblock_kernel_nobias(q_ref, k_ref, v_ref, o_ref, *, chunks):
     )
 
 
+def _transposed_kernel(q_ref, k_ref, vT_ref, b_ref, o_ref, *, chunks):
+    """Transposed-PV row-block kernel for LANE-PADDED head dims (D=72 →
+    d_pad 128, the PixArt shapes).
+
+    The standard layout pays the 72→128 pad twice: the QK contraction
+    really is 72-long (intrinsic), but PV also writes a 128-lane output
+    of which 56 lanes are zeros — avoidable. Everything here is computed
+    transposed:
+
+        Sᵀ = K · Qᵀ      (tk, bq)  — same padded-d contraction cost
+        Oᵀ = Vᵀ · Pᵀ     (d, bq)   — Vᵀ stored (d, tk): the head dim
+                           moves to SUBLANES (72 is an exact 8-multiple),
+                           the contraction (tk) is lane-aligned → zero
+                           pad waste, 128/72 ≈ 1.78× less PV work.
+
+    Softmax reduces over sublanes (axis 0) with the same static clamp as
+    _rowblock_compute; `b_ref` carries the log2-domain key-padding bias
+    as a COLUMN (tk, 1) broadcasting over query lanes (None on the
+    no-bias fast path via the _nobias twin). Measured: 5.90 ms at
+    B8H16T4096D72 vs the 8.3 ms PADDED matmul-only floor — the win is
+    below the old floor because the floor itself was paying the PV pad."""
+    q = q_ref[0]  # (d_pad, bq) — pre-transposed, pre-scaled by scale·log2e
+    sums, pvs = [], []
+    for lo, hi in chunks:
+        s = jax.lax.dot_general(
+            k_ref[0, lo:hi], q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (chunk, bq)
+        if b_ref is not None:
+            s = s + b_ref[0, lo:hi]  # (chunk, 1) broadcasts over lanes
+        p = jnp.exp2(jnp.clip(s, _CLAMP_LO, _CLAMP_HI))
+        sums.append(jnp.sum(p, axis=0, keepdims=True))  # (1, bq)
+        pvs.append(
+            jax.lax.dot_general(
+                vT_ref[0, :, lo:hi], p.astype(vT_ref.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (d8, bq)
+        )
+    denom = sums[0]
+    acc = pvs[0]
+    for sm, pv in zip(sums[1:], pvs[1:]):
+        denom = denom + sm
+        acc = acc + pv
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
+def _transposed_kernel_nobias(q_ref, k_ref, vT_ref, o_ref, *, chunks):
+    _transposed_kernel(q_ref, k_ref, vT_ref, None, o_ref, chunks=chunks)
+
+
+def _transposed_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array],
+    interpret: bool,
+) -> jax.Array:
+    """Single-pass path for lane-padded head dims (see _transposed_kernel).
+    Same bias contract as the row-block path: None or key-padding
+    (B|1, 1, 1, Tk)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale = _LOG2E / float(np.sqrt(d))
+
+    d_pad = _round_up(d, 128)
+    d8 = _round_up(d, 8)  # Vᵀ/output sublane dim — no lane pad needed
+    bq = min(_TRANSPOSED_BLOCK_Q, _round_up(tq, 128))
+    tq_pad = _round_up(tq, bq)
+    tk_pad = _round_up(tk, 128)
+
+    def pad(x, t_pad, dp):
+        t = x.shape[1]
+        return jnp.pad(
+            x, ((0, 0), (0, t_pad - t), (0, 0), (0, dp - x.shape[-1]))
+        )
+
+    qT = (
+        pad(q, tq_pad, d_pad)
+        .transpose(0, 2, 3, 1)
+        .reshape(b * h, d_pad, tq_pad)
+        * jnp.asarray(scale, q.dtype)
+    )
+    kp = (
+        pad(k, tk_pad, d_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
+    )
+    vT = pad(v, tk_pad, d8).transpose(0, 2, 3, 1).reshape(b * h, d8, tk_pad)
+
+    n_chunks = max(2, -(-tk_pad // _TRANSPOSED_MAX_CHUNK))
+    chunk = _round_up(-(-tk_pad // n_chunks), 128)
+    chunks = []
+    lo = 0
+    while lo < tk_pad:
+        chunks.append((lo, min(lo + chunk, tk_pad)))
+        lo += chunk
+
+    grid = (b * h, tq_pad // bq)
+    common = dict(
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((b * h, d8, tq_pad), q.dtype),
+        out_specs=pl.BlockSpec(
+            (1, d8, bq), lambda i, qi: (i, 0, qi), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )
+    qkv_specs = [
+        pl.BlockSpec(
+            (1, d_pad, bq), lambda i, qi: (i, 0, qi),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, tk_pad, d_pad), lambda i, qi: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, d8, tk_pad), lambda i, qi: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+
+    if bias is None and tk == tk_pad:
+        out = pl.pallas_call(
+            functools.partial(_transposed_kernel_nobias, chunks=chunks),
+            in_specs=qkv_specs,
+            **common,
+        )(qT, kp, vT)
+        return (
+            out.reshape(b, h, d8, tq_pad)[:, :, :d, :tq].transpose(0, 3, 1, 2)
+        )
+
+    pad_bias_col = jnp.where(
+        jnp.arange(tk_pad) < tk, 0.0, _NEG_INF
+    ).astype(jnp.float32)[None, :, None]  # (1, tk_pad, 1)
+    if bias is None:
+        bias_arr = pad_bias_col
+        bias_index = lambda i, qi: (0, 0, 0)  # noqa: E731
+    elif _flash_bias_ok(bias, b):
+        bias_b = jnp.pad(
+            jnp.broadcast_to(
+                bias.astype(jnp.float32)[:, 0, 0] * _LOG2E, (b, tk)
+            ),
+            ((0, 0), (0, tk_pad - tk)),
+        )[:, :, None]  # (b, tk_pad, 1), log2 domain
+        bias_arr = bias_b + pad_bias_col
+        bias_index = lambda i, qi: (i // h, 0, 0)  # noqa: E731
+    else:
+        raise NotImplementedError(
+            "transposed path supports only key-padding biases (B, 1, 1, Tk);"
+            f" got shape {bias.shape}"
+        )
+    out = pl.pallas_call(
+        functools.partial(_transposed_kernel, chunks=chunks),
+        in_specs=qkv_specs
+        + [pl.BlockSpec((1, tk_pad, 1), bias_index, memory_space=pltpu.VMEM)],
+        **common,
+    )(qT, kp, vT, bias_arr)
+    return out.reshape(b, h, d8, tq_pad)[:, :, :d, :tq].transpose(0, 3, 1, 2)
+
+
 def _rowblock_attention(
     q: jax.Array,
     k: jax.Array,
@@ -397,6 +572,11 @@ def _flash_attention(
     b, tq, h, d = q.shape
     tk = k.shape[1]
     if _round_up(tk, 128) * _round_up(d, 128) <= _ROWBLOCK_MAX_KV_ELEMS:
+        if d % 128:
+            # lane-padded head dim: the transposed-PV layout removes the
+            # PV half of the pad waste (5.90 vs 8.44 ms at the
+            # PixArt-1024 shape)
+            return _transposed_attention(q, k, v, bias, interpret)
         return _rowblock_attention(q, k, v, bias, interpret)
     scale = 1.0 / float(np.sqrt(d))
 
@@ -508,6 +688,17 @@ def fused_attention(
         # hold in VMEM: no DiT tower emits this shape — delegate to XLA
         # rather than fail the pallas_call compile
         return jax.nn.dot_product_attention(q, k, v, bias=bias)
+    if (
+        d % 128
+        and score_bytes >= _TRANSPOSED_MIN_SCORE_BYTES
+        and _flash_bias_ok(bias, b)
+    ):
+        # single-tile-sized but lane-padded head dim (PixArt-256 self-
+        # attention, B64H16T1024D72): the transposed-PV kernel beats the
+        # single-tile kernel 5.29 vs 8.38 ms — same pad-waste argument as
+        # the long-sequence route above. Below the score floor shapes are
+        # cheap either way and stay on the (pad-tolerant) single tile.
+        return _transposed_attention(q, k, v, bias, interpret)
 
     def pad(x, t_pad):
         t = x.shape[1]

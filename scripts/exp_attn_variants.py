@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import pathlib
 import sys
 
@@ -38,10 +39,12 @@ _LOG2E = 1.4426950408889634
 SHAPES = {
     "flux1024": dict(b=2, h=24, t=4608, d=128),
     "pixart1024": dict(b=8, h=16, t=4096, d=72),
-    # the headline-bench self-attention shape (batch 32 × CFG 2): below
-    # the long-seq routing threshold today, served by XLA — measure
-    # whether the chunked row-block kernel should claim it too
-    "pixart256_self": dict(b=64, h=16, t=1024, d=72),
+    # a PixArt-512-class D72 shape (T=1024 tokens; batch 32 × CFG 2).
+    # NOTE the actual 256² model has only 256 latent tokens (sample 32,
+    # patch 2) whose 256 KB score tile stays below the XLA-routing floor —
+    # the headline bench is deliberately NOT affected by these kernels;
+    # this row covers the mid-resolution regime between 256² and 1024²
+    "pixart512_class_self": dict(b=64, h=16, t=1024, d=72),
 }
 
 
@@ -181,6 +184,106 @@ VARIANTS = {
     "chunk2": (k_chunk2, True),
 }
 
+_CLAMP_LO, _CLAMP_HI = -100.0, 80.0
+
+
+def k_transposed(q_ref, k_ref, vT_ref, o_ref, *, chunks):
+    """Transposed-PV variant for lane-padded head dims (D=72 → 128).
+
+    The standard layout pays the 72→128 pad TWICE: QK contracts over
+    d_pad (intrinsic — the contraction really is 72-long) AND PV writes a
+    128-lane output of which 56 lanes are zeros (avoidable). This kernel
+    computes everything transposed:
+
+      Sᵀ = K · Qᵀ              (tk, bq)  — same padded-d contraction cost
+      Oᵀ = Vᵀ · Pᵀ             (72, bq)  — Vᵀ stored (72, tk): sublane dim
+                                 72 is an exact 8-multiple, contraction tk
+                                 is lane-aligned → ZERO pad waste, 1.78×
+                                 less PV work than the padded layout.
+
+    Softmax reduces over sublanes (axis 0) with the same static clamp as
+    the shipping kernel. Expected matmul floor: QK unchanged + PV×0.5625
+    ≈ 0.78 of the padded floor (8.4 → ~6.6 ms at B8H16T4096D72)."""
+    q = q_ref[0]  # (d_pad, bq) — pre-transposed, pre-scaled
+    sums, pvs = [], []
+    for lo, hi in chunks:
+        s = jax.lax.dot_general(
+            k_ref[0, lo:hi], q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (chunk, bq)
+        p = jnp.exp2(jnp.clip(s, _CLAMP_LO, _CLAMP_HI))
+        sums.append(jnp.sum(p, axis=0, keepdims=True))  # (1, bq)
+        pvs.append(
+            jax.lax.dot_general(
+                vT_ref[0, :, lo:hi], p.astype(vT_ref.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (d, bq)
+        )
+    denom = sums[0]
+    acc = pvs[0]
+    for sm, pv in zip(sums[1:], pvs[1:]):
+        denom = denom + sm
+        acc = acc + pv
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
+def _call_transposed(q, k, v, bq, n_chunks=2):
+    """Wrapper for k_transposed: q → (bh, d_pad, tq) transposed+scaled,
+    k standard (bh, tk_pad, d_pad), v → (bh, d, tk_pad) transposed and
+    UNPADDED in d, output (bh, d, tq_pad) transposed back at the end."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    d_pad = _round_up(d, 128)
+    tq_pad = _round_up(tq, bq)
+    tk_pad = _round_up(tk, 128)
+
+    def pad(x, t_pad, dp):
+        t = x.shape[1]
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0), (0, dp - x.shape[-1])))
+
+    scale = _LOG2E / np.sqrt(d)
+    qT = (
+        pad(q, tq_pad, d_pad).transpose(0, 2, 3, 1).reshape(b * h, d_pad, tq_pad)
+        * jnp.asarray(scale, q.dtype)
+    )
+    kp = pad(k, tk_pad, d_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
+    vT = pad(v, tk_pad, d).transpose(0, 2, 3, 1).reshape(b * h, d, tk_pad)
+
+    chunk = _round_up(tk_pad // n_chunks, 128)
+    chunks = []
+    lo = 0
+    while lo < tk_pad:
+        chunks.append((lo, min(lo + chunk, tk_pad)))
+        lo += chunk
+
+    grid = (b * h, tq_pad // bq)
+    out = pl.pallas_call(
+        functools.partial(k_transposed, chunks=chunks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, d_pad, bq), lambda i, qi: (i, 0, qi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tk_pad, d_pad), lambda i, qi: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, d, tk_pad), lambda i, qi: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=jax.ShapeDtypeStruct((b * h, d, tq_pad), q.dtype),
+        out_specs=pl.BlockSpec(
+            (1, d, bq), lambda i, qi: (i, 0, qi),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=bool(os.environ.get("ECAD_EXP_INTERPRET")),
+    )(qT, kp, vT)
+    return out.reshape(b, h, d, tq_pad)[:, :, :, :tq].transpose(0, 3, 1, 2)
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -204,6 +307,34 @@ def main() -> None:
         )
         bench.sync(ref)
         for bq in bqs:
+            if s["d"] % 128:  # transposed-PV only pays off for padded D
+                fnT = jax.jit(
+                    functools.partial(lambda q, k, v, bq=bq: _call_transposed(
+                        q, k, v, bq
+                    ))
+                )
+                outT = fnT(q, k, v)
+                eT = float(
+                    jnp.abs(
+                        outT[:, :, :2].astype(jnp.float32)
+                        - ref.astype(jnp.float32)
+                    ).max()
+                )
+                msT = bench.time_fn(
+                    lambda: fnT(q, k, v), sync_out=bench.sync,
+                    warmup=2, samples=8,
+                )
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"exp_{name}_transposed_bq{bq}",
+                            "value": round(msT * 1e3, 3),
+                            "unit": "ms",
+                            "detail": {"max_abs_err_vs_xla_bf16": eT},
+                        }
+                    ),
+                    flush=True,
+                )
             for label, (kernel, prescale) in VARIANTS.items():
                 fn = jax.jit(
                     functools.partial(

@@ -189,24 +189,40 @@ class TestRowBlockAttention:
 
     def test_flash_attention_routes_to_rowblock(self, monkeypatch):
         """_flash_attention dispatches VMEM-resident key sequences to the
-        single-pass kernel."""
+        single-pass kernel — lane-ALIGNED head dims to the row-block
+        kernel, lane-padded ones to the transposed-PV kernel."""
         from ecad_tpu.ops import attention as A
 
         called = {}
-        real = A._rowblock_attention
+        real_rb = A._rowblock_attention
+        real_tr = A._transposed_attention
 
-        def spy(q, k, v, bias, interpret):
+        def spy_rb(q, k, v, bias, interpret):
             called["rowblock"] = True
-            return real(q, k, v, bias, interpret)
+            return real_rb(q, k, v, bias, interpret)
 
-        monkeypatch.setattr(A, "_rowblock_attention", spy)
+        def spy_tr(q, k, v, bias, interpret):
+            called["transposed"] = True
+            return real_tr(q, k, v, bias, interpret)
+
+        monkeypatch.setattr(A, "_rowblock_attention", spy_rb)
+        monkeypatch.setattr(A, "_transposed_attention", spy_tr)
         keys = jax.random.split(jax.random.PRNGKey(8), 3)
-        q = jax.random.normal(keys[0], (1, 64, 2, 32))
-        k = jax.random.normal(keys[1], (1, 256, 2, 32))
-        v = jax.random.normal(keys[2], (1, 256, 2, 32))
+        q = jax.random.normal(keys[0], (1, 64, 2, 128))
+        k = jax.random.normal(keys[1], (1, 256, 2, 128))
+        v = jax.random.normal(keys[2], (1, 256, 2, 128))
         want = jax.nn.dot_product_attention(q, k, v)
         got = A._flash_attention(q, k, v, None, interpret=True)
-        assert called.get("rowblock")
+        assert called.get("rowblock") and "transposed" not in called
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+        called.clear()
+        q, k, v = q[..., :72], k[..., :72], v[..., :72]
+        want = jax.nn.dot_product_attention(q, k, v)
+        got = A._flash_attention(q, k, v, None, interpret=True)
+        assert called.get("transposed") and "rowblock" not in called
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
         )
@@ -249,6 +265,99 @@ class TestRowBlockAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
         )
+
+
+class TestTransposedAttention:
+    """Transposed-PV kernel for lane-padded head dims (PixArt's D=72):
+    Sᵀ = K·Qᵀ, softmax over sublanes, Oᵀ = Vᵀ·Pᵀ with the head dim in
+    sublanes — removes the PV half of the 72→128 pad waste (measured 5.90
+    vs 8.44 ms at B8H16T4096D72, scripts/exp_attn_variants.py)."""
+
+    def _run(self, tq, tk, d, bias=None, b=2, h=2):
+        from ecad_tpu.ops import attention as A
+
+        keys = jax.random.split(jax.random.PRNGKey(9), 3)
+        q = jax.random.normal(keys[0], (b, tq, h, d))
+        k = jax.random.normal(keys[1], (b, tk, h, d))
+        v = jax.random.normal(keys[2], (b, tk, h, d))
+        want = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        got = A._transposed_attention(q, k, v, bias, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    def test_multiblock_q_d72(self, monkeypatch):
+        from ecad_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_TRANSPOSED_BLOCK_Q", 128)
+        self._run(tq=256, tk=384, d=72)
+
+    def test_multichunk_kv(self, monkeypatch):
+        from ecad_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_TRANSPOSED_MAX_CHUNK", 128)
+        self._run(tq=128, tk=512, d=72)
+
+    def test_unaligned_shapes_padding_masked(self):
+        # tq not a 128-multiple, tk not a 128-multiple, d not 8-aligned
+        self._run(tq=130, tk=300, d=36)
+
+    def test_key_padding_bias(self):
+        tk = 256
+        bias = jnp.where(
+            jnp.arange(tk)[None, None, None, :] < 100, 0.0, -1e9
+        )  # (1, 1, 1, tk) batch-broadcast over b=3
+        self._run(tq=128, tk=tk, d=72, bias=bias, b=3)
+
+    def test_per_batch_key_padding_bias(self):
+        tk = 256
+        lens = jnp.asarray([100, 200, 256])[:, None, None, None]
+        bias = jnp.where(
+            jnp.arange(tk)[None, None, None, :] < lens, 0.0, -1e9
+        )  # (3, 1, 1, tk)
+        self._run(tq=128, tk=tk, d=72, bias=bias, b=3)
+
+    def test_extreme_logits_finite(self):
+        from ecad_tpu.ops import attention as A
+
+        keys = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(keys[0], (1, 128, 1, 72)) * 1e4
+        k = jax.random.normal(keys[1], (1, 256, 1, 72))
+        v = jax.random.normal(keys[2], (1, 256, 1, 72))
+        out = A._transposed_attention(q, k, v, None, interpret=True)
+        assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+    def test_fused_attention_routes_padded_d_single_tile_size(
+        self, monkeypatch
+    ):
+        """In the single-tile size regime, lane-padded head dims above the
+        score floor route to the transposed kernel."""
+        from ecad_tpu.ops import attention as A
+
+        called = {}
+        real = A._transposed_attention
+
+        def spy(q, k, v, bias, interpret):
+            called["transposed"] = True
+            return real(q, k, v, bias, interpret)
+
+        monkeypatch.setattr(A, "_transposed_attention", spy)
+        monkeypatch.setattr(A, "_TRANSPOSED_MIN_SCORE_BYTES", 1024)
+        keys = jax.random.split(jax.random.PRNGKey(11), 3)
+        q = jax.random.normal(keys[0], (1, 128, 2, 72))
+        k = jax.random.normal(keys[1], (1, 128, 2, 72))
+        v = jax.random.normal(keys[2], (1, 128, 2, 72))
+        want = jax.nn.dot_product_attention(q, k, v)
+        got = A.fused_attention.__wrapped__(q, k, v, None, interpret=True)
+        assert called.get("transposed")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+        # below the floor: stays on the single-tile kernel
+        called.clear()
+        monkeypatch.setattr(A, "_TRANSPOSED_MIN_SCORE_BYTES", 1 << 40)
+        A.fused_attention.__wrapped__(q, k, v, None, interpret=True)
+        assert "transposed" not in called
 
 
 def test_flash_bias_ok_helper():
