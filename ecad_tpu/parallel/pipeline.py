@@ -214,6 +214,8 @@ def build_pp_forward(model: PixArtTransformer, mesh: Mesh, n_micro: int):
         cache,
         mask_arr,
         text_mask: Optional[jax.Array] = None,
+        resolution: Optional[jax.Array] = None,
+        aspect_ratio: Optional[jax.Array] = None,
     ):
         c = config
         b, hh, ww, _ = latents.shape
@@ -228,6 +230,8 @@ def build_pp_forward(model: PixArtTransformer, mesh: Mesh, n_micro: int):
             text_embeds,
             timestep,
             text_mask,
+            resolution,
+            aspect_ratio,
             method=PixArtTransformer.process_input,
         )
 
@@ -291,3 +295,88 @@ def build_pp_forward(model: PixArtTransformer, mesh: Mesh, n_micro: int):
         return noise, new_cache
 
     return forward
+
+
+class PipelinedPopulationDenoiser:
+    """PopulationDenoiser with the block stage pipelined over pp: the full
+    CFG + DPM-Solver trajectory (pipelines/pixart_pipeline.py's lax.scan
+    over steps, traced masks via lax.cond) composed with the GPipe
+    microbatch schedule — each denoise step streams its 2B CFG batch
+    through the pp stages. Exists to prove (and test) that the scan ×
+    pipeline composition compiles and matches the plain denoiser bitwise;
+    PixArt itself fits one chip, so pp is never REQUIRED for it — the
+    capability targets pod-scale serving of larger homogeneous towers
+    where dp/tp over DCN is not viable."""
+
+    def __init__(self, pipeline, mesh: Mesh, n_micro: int):
+        self.pipeline = pipeline
+        self.mesh = mesh
+        self.n_micro = n_micro
+        nb = pipeline.config.model.num_blocks
+        self._fwd = build_pp_forward(pipeline.model, mesh, n_micro)
+        stacked, rest = stack_block_params(pipeline.params, nb)
+        bp_sh, _ = pp_shardings(mesh, stacked, {})
+        self.stacked = jax.device_put(stacked, bp_sh)
+        self.rest = rest
+        self._fn_cache: dict = {}
+
+    def _build(self, with_enc_mask: bool):
+        from ..pipelines.pixart_pipeline import cfg_dpm_step
+        from ..pipelines.samplers import dpm_scan_coeffs
+
+        p = self.pipeline
+        coeffs = jnp.asarray(dpm_scan_coeffs(p.dpm), jnp.float32)
+        nb = p.config.model.num_blocks
+
+        def denoise(stacked, rest, masks, noise, text, neg, text_mask,
+                    neg_mask):
+            b = noise.shape[0]
+            enc2 = jnp.concatenate([neg, text], axis=0)
+            enc_mask2 = None
+            if with_enc_mask:
+                enc_mask2 = jnp.concatenate([neg_mask, text_mask], axis=0)
+            res, ar = p._additional_conditions(2 * b, noise.dtype)
+            tokens = (noise.shape[1] // p.config.model.patch_size) * (
+                noise.shape[2] // p.config.model.patch_size
+            )
+            cache = {
+                k: jnp.zeros(
+                    (nb, 2 * b, tokens, p.config.model.dim),
+                    p.config.model.dtype,
+                )
+                for k in COMPONENTS
+            }
+            x0_init = jnp.zeros_like(noise, jnp.float32)
+
+            def body(carry, inp):
+                x, prev_x0, cache = carry
+                mask_row, co = inp
+                lat2 = jnp.concatenate([x, x], axis=0)
+                t = jnp.full((2 * b,), co[0], jnp.float32)
+                out, cache = self._fwd(
+                    stacked, rest, lat2, enc2, t, cache, mask_row,
+                    text_mask=enc_mask2, resolution=res, aspect_ratio=ar,
+                )
+                new_x, x0 = cfg_dpm_step(
+                    x, prev_x0, co, out, p.config.guidance_scale,
+                    p.config.model.in_channels,
+                )
+                return (new_x, x0, cache), None
+
+            init = (noise * p.dpm.init_noise_sigma, x0_init, cache)
+            (x, _, _), _ = jax.lax.scan(body, init, (masks, coeffs))
+            return x
+
+        return jax.jit(denoise)
+
+    def denoise(self, masks, noise, text, neg, text_mask=None,
+                neg_mask=None) -> jax.Array:
+        """Same contract as PopulationDenoiser.denoise; the CFG-doubled
+        batch 2B must divide n_micro (× the mesh's dp)."""
+        key = (noise.shape, text.shape, text_mask is not None)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._build(text_mask is not None)
+        return self._fn_cache[key](
+            self.stacked, self.rest, jnp.asarray(masks), noise, text, neg,
+            text_mask, neg_mask,
+        )

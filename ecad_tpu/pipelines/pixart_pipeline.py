@@ -314,6 +314,24 @@ class PixArtPipeline:
         return fn
 
 
+def cfg_dpm_step(x, prev_x0, co, eps2, guidance_scale, in_channels):
+    """One classifier-free-guidance combine + DPM-Solver++(2M) update.
+
+    `co` is one row of samplers.dpm_scan_coeffs; `eps2` the model output
+    for the [negative; positive] doubled batch. Shared by
+    PopulationDenoiser and the pipeline-parallel denoiser
+    (parallel/pipeline.py) so the sampler math exists exactly once."""
+    sigma_t, alpha_t, c0, c1, d0, d1 = co[1], co[2], co[3], co[4], co[5], co[6]
+    eps2 = eps2[..., :in_channels]
+    eps_neg, eps_pos = jnp.split(eps2, 2, axis=0)
+    eps = eps_neg + guidance_scale * (eps_pos - eps_neg)
+    x32 = x.astype(jnp.float32)
+    x0 = (x32 - sigma_t * eps.astype(jnp.float32)) / alpha_t
+    d = d0 * x0 + d1 * prev_x0
+    new_x = (c0 * x32 - c1 * d).astype(x.dtype)
+    return new_x, x0
+
+
 class PopulationDenoiser:
     """ONE compiled program for the entire candidate population.
 
@@ -364,23 +382,17 @@ class PopulationDenoiser:
             def body(carry, inp):
                 x, prev_x0, cache = carry
                 mask_row, co = inp
-                t_val, sigma_t, alpha_t, c0, c1, d0, d1 = (
-                    co[0], co[1], co[2], co[3], co[4], co[5], co[6]
-                )
                 lat2 = jnp.concatenate([x, x], axis=0)
-                t = jnp.full((2 * b,), t_val, jnp.float32)
+                t = jnp.full((2 * b,), co[0], jnp.float32)
                 out, cache = p.model.apply(
                     {"params": params}, lat2, enc2, t, cache, mask_row,
                     text_mask=enc_mask2, resolution=res, aspect_ratio=ar,
                     text_precomputed=text_pre,
                 )
-                eps2 = out[..., : p.config.model.in_channels]
-                eps_neg, eps_pos = jnp.split(eps2, 2, axis=0)
-                eps = eps_neg + p.config.guidance_scale * (eps_pos - eps_neg)
-                x32 = x.astype(jnp.float32)
-                x0 = (x32 - sigma_t * eps.astype(jnp.float32)) / alpha_t
-                d = d0 * x0 + d1 * prev_x0
-                new_x = (c0 * x32 - c1 * d).astype(x.dtype)
+                new_x, x0 = cfg_dpm_step(
+                    x, prev_x0, co, out, p.config.guidance_scale,
+                    p.config.model.in_channels,
+                )
                 return (new_x, x0, cache), None
 
             init = (noise * p.dpm.init_noise_sigma, x0_init, cache)

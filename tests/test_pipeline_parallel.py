@@ -173,3 +173,40 @@ def test_stacked_cache_round_trip():
     np.testing.assert_array_equal(
         np.asarray(back["attn1"][1]), np.asarray(cache["attn1"][1])
     )
+
+
+def test_pipelined_population_denoiser_matches_plain():
+    """Full CFG + DPM trajectory with traced masks: the pp-pipelined
+    denoiser must match PopulationDenoiser (same lax.cond dynamic mode)
+    across a multi-step schedule with partial recompute rows."""
+    from ecad_tpu.parallel.pipeline import PipelinedPopulationDenoiser
+    from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
+    from ecad_tpu.pipelines.pixart_pipeline import PopulationDenoiser
+
+    config = PixArtConfig.tiny(num_blocks=4, dtype=jnp.float32)
+    _, params = init_params(config, 0)
+    steps = 3
+    pcfg = PixArtPipelineConfig(model=config, num_inference_steps=steps)
+    pipe = PixArtPipeline(pcfg, params)
+
+    b = 2  # CFG doubles to 4 = n_micro 2 × mb 2
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    noise = jax.random.normal(
+        k1, (b, config.sample_size, config.sample_size, 4)
+    )
+    text = jax.random.normal(k2, (b, config.text_len, config.caption_dim))
+    neg = jax.random.normal(k3, (b, config.text_len, config.caption_dim))
+    rng = np.random.default_rng(3)
+    masks = rng.random((steps, config.num_blocks, 3)) < 0.5
+    masks[0] = True
+
+    want = PopulationDenoiser(pipe).denoise(masks, noise, text, neg)
+
+    mesh = create_pp_mesh(pp=4, dp=2)
+    with mesh:
+        ppd = PipelinedPopulationDenoiser(pipe, mesh, n_micro=2)
+        got = ppd.denoise(masks, noise, text, neg)
+
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
