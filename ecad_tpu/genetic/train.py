@@ -258,6 +258,15 @@ def build_evaluator(args, manager) -> CandidateEvaluator:
     if args.model_family == "flux":
         return _build_flux_evaluator(args)
 
+    if args.cache_dtype is not None:
+        # mirror the inference CLI: ImageGenerator.supports_cache_dtype
+        # rejects this for PixArt — fail loudly instead of silently running
+        # with bf16 caches
+        raise ValueError(
+            "--cache-dtype is a FLUX option (models/flux.py); PixArt caches "
+            "stay in the model dtype"
+        )
+
     mesh = _build_mesh(args)
     decode_fn = None
     prompt_texts = None
@@ -363,6 +372,7 @@ def _build_flux_evaluator(args):
 
         gen = FluxImageGenerator(
             quant=args.quant,
+            cache_dtype=args.cache_dtype,
             start_seed=args.start_seed,
             seed_step=args.seed_step,
             weights_root=args.weights_root,

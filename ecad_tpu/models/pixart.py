@@ -328,14 +328,21 @@ class PixArtTransformer(nn.Module):
         return x.reshape(b, gh * p, gw * p, c.out_channels)
 
     def encode_text(
-        self, text_embeds: jax.Array
-    ) -> tuple[jax.Array, tuple]:
+        self, text_embeds: jax.Array, with_kv: bool = True
+    ) -> tuple[jax.Array, Optional[tuple]]:
         """Trajectory-constant text work, hoisted out of the denoise loop:
         caption projection + every block's cross-attention K/V. Call via
         `model.apply(vars, text, method=PixArtTransformer.encode_text)` once
         per trajectory; feed the result back through `text_precomputed`.
-        (The reference recomputes these at all 20 steps.)"""
+        (The reference recomputes these at all 20 steps.)
+
+        `with_kv=False` skips the per-block K/V so the method runs against
+        a params dict holding only the non-block remainder (the
+        pipeline-parallel driver computes K/V from its stacked block params
+        instead — parallel/pipeline.py stacked_cross_kv)."""
         enc = self.caption_projection(text_embeds)
+        if not with_kv:
+            return enc, None
         enc_kv = tuple(block.cross_kv(enc) for block in self.blocks)
         return enc, enc_kv
 

@@ -460,6 +460,11 @@ def _rowblock_attention(
     scale = _LOG2E / float(np.sqrt(d))
 
     d_pad = _round_up(d, 128)
+    # NOTE: the padded-D branch is reachable only from direct bench/test
+    # calls (scripts/bench_attention_kernels.py shootouts) — production
+    # routing sends every d % 128 shape to _transposed_attention first
+    # (_flash_attention above). Kept so the shootout keeps comparing the
+    # kernels on equal footing.
     block_q = (
         _ROWBLOCK_BLOCK_Q if d == d_pad else _ROWBLOCK_BLOCK_Q_PADDED_D
     )
@@ -693,8 +698,10 @@ def fused_attention(
         and score_bytes >= _TRANSPOSED_MIN_SCORE_BYTES
         and _flash_bias_ok(bias, b)
     ):
-        # single-tile-sized but lane-padded head dim (PixArt-256 self-
-        # attention, B64H16T1024D72): the transposed-PV kernel beats the
+        # single-tile-sized but lane-padded head dim (the PixArt-512-class
+        # shape B64H16T1024D72 — NOT PixArt-256, whose 256-token self-
+        # attention has a 256 KB score tile below this floor and stays on
+        # the single-tile/XLA route): the transposed-PV kernel beats the
         # single-tile kernel 5.29 vs 8.38 ms — same pad-waste argument as
         # the long-sequence route above. Below the score floor shapes are
         # cheap either way and stay on the (pad-tolerant) single tile.

@@ -101,15 +101,31 @@ def from_stacked_cache(cache: dict[str, jax.Array]) -> dict[str, tuple]:
 
 def pp_shardings(mesh: Mesh, stacked_params, cache):
     """NamedShardings to device_put the stacked params / cache so HBM is
-    actually divided by pp at the program boundary (stage s holds blocks
-    [s*nb/pp, (s+1)*nb/pp))."""
+    actually divided at the program boundary: stage s holds blocks
+    [s*nb/pp, (s+1)*nb/pp) and each dp row holds its batch slice. The
+    boundary cache layout is (nb, B, T, d) → P("pp", "dp"); build_pp_forward
+    reshapes B into (mb, n_micro) with mb major, so the dp shard carries
+    into the in-program microbatch axis without resharding (requires
+    (B / n_micro) % dp == 0 for the comms-free propagation)."""
     bp = jax.tree.map(
         lambda _: NamedSharding(mesh, P("pp")), stacked_params
     )
     ch = jax.tree.map(
-        lambda _: NamedSharding(mesh, P("pp", None, "dp")), cache
+        lambda _: NamedSharding(mesh, P("pp", "dp")), cache
     )
     return bp, ch
+
+
+def stacked_cross_kv(config: PixArtConfig, stacked_params, enc: jax.Array):
+    """Trajectory-constant cross-attention K/V for every block, computed
+    once per trajectory from the STACKED block params: (k, v) with leading
+    (num_blocks,) axes — the pp-world analogue of
+    PixArtTransformer.encode_text's per-block tuple. Feed through
+    build_pp_forward's ``text_precomputed=(enc, kv)``."""
+    block = PixArtBlock(config)
+    return jax.vmap(
+        lambda p: block.apply({"params": p}, enc, method=PixArtBlock.cross_kv)
+    )(stacked_params)
 
 
 def build_pp_forward(model: PixArtTransformer, mesh: Mesh, n_micro: int):
@@ -136,26 +152,34 @@ def build_pp_forward(model: PixArtTransformer, mesh: Mesh, n_micro: int):
         raise NotImplementedError("pp harness supports quant=None only")
     block = PixArtBlock(config)
 
-    def stage_scan(bp_local, h, enc, t6, enc_bias, cache_mb, masks_local):
+    def stage_scan(
+        bp_local, h, enc, t6, enc_bias, cache_mb, masks_local, kv_mb
+    ):
         """Apply this stage's local blocks to one microbatch."""
+        xs = {"p": bp_local, "cache": cache_mb, "m": masks_local}
+        if kv_mb is not None:
+            xs["kv"] = kv_mb
 
-        def body(carry, xs):
-            p, cache_row, m = xs
+        def body(carry, row):
+            m = row["m"]
             with local_attention():
                 new_h, new_row = block.apply(
-                    {"params": p}, carry, enc, t6, enc_bias, cache_row,
-                    (m[0], m[1], m[2]),
+                    {"params": row["p"]}, carry, enc, t6, enc_bias,
+                    row["cache"], (m[0], m[1], m[2]),
+                    enc_kv=row.get("kv"),
                 )
             return new_h, new_row
 
-        return jax.lax.scan(body, h, (bp_local, cache_mb, masks_local))
+        return jax.lax.scan(body, h, xs)
 
     def pipeline_body(
-        bp_local, x_micro, enc_m, t6_m, bias_m, cache_local, masks_local
+        bp_local, x_micro, enc_m, t6_m, bias_m, kv_m, cache_local,
+        masks_local,
     ):
         """shard_map body: one pp stage. x_micro (n_micro, mb, T, d) is
         replicated over pp; cache_local {comp: (n_local, n_micro, mb, T,
-        d)}; masks_local (n_local, 3)."""
+        d)}; masks_local (n_local, 3); kv_m optional trajectory-constant
+        cross-attention K/V, (n_local, n_micro, mb, L, H, Dh) each."""
         s = jax.lax.axis_index("pp")
         is_first = s == 0
         is_last = s == pp - 1
@@ -171,16 +195,15 @@ def build_pp_forward(model: PixArtTransformer, mesh: Mesh, n_micro: int):
                 a, mb_c, axis=0, keepdims=False
             )
             inp = jnp.where(is_first, take(x_micro), recv)
-            cache_mb = jax.tree.map(
-                lambda a: jax.lax.dynamic_index_in_dim(
-                    a, mb_c, axis=1, keepdims=False
-                ),
-                cache_local,
+            take1 = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
+                a, mb_c, axis=1, keepdims=False
             )
+            cache_mb = jax.tree.map(take1, cache_local)
+            kv_mb = None if kv_m is None else jax.tree.map(take1, kv_m)
             bias_mb = None if bias_m is None else take(bias_m)
             out, new_rows = stage_scan(
                 bp_local, inp, take(enc_m), take(t6_m), bias_mb,
-                cache_mb, masks_local,
+                cache_mb, masks_local, kv_mb,
             )
             # masked writes: bubble ticks (and the clamped mb they alias)
             # must not clobber real state
@@ -216,6 +239,7 @@ def build_pp_forward(model: PixArtTransformer, mesh: Mesh, n_micro: int):
         text_mask: Optional[jax.Array] = None,
         resolution: Optional[jax.Array] = None,
         aspect_ratio: Optional[jax.Array] = None,
+        text_precomputed: Optional[tuple] = None,
     ):
         c = config
         b, hh, ww, _ = latents.shape
@@ -224,6 +248,11 @@ def build_pp_forward(model: PixArtTransformer, mesh: Mesh, n_micro: int):
             raise ValueError(f"batch {b} not divisible by n_micro={n_micro}")
         mb = b // n_micro
 
+        # `text_precomputed` = (enc, stacked_kv) hoists the trajectory-
+        # constant text work out of a step loop: enc skips the caption
+        # projection inside process_input, stacked_kv (from
+        # stacked_cross_kv, leading (nb,) axes) skips every block's
+        # cross-attention K/V projections.
         h, t6, emb_t, enc, _, enc_bias = model.apply(
             {"params": rest_params},
             latents,
@@ -232,45 +261,56 @@ def build_pp_forward(model: PixArtTransformer, mesh: Mesh, n_micro: int):
             text_mask,
             resolution,
             aspect_ratio,
+            None if text_precomputed is None else (text_precomputed[0], None),
             method=PixArtTransformer.process_input,
         )
+        kv_stacked = None if text_precomputed is None else text_precomputed[1]
 
+        # Microbatch m = batch rows {r·n_micro + m}: the (mb, n_micro)
+        # reshape keeps mb MAJOR in B, so a boundary P(…, "dp") sharding of
+        # the B axis (pp_shardings) propagates through reshape+swap into
+        # the in-program P(…, None, "dp") microbatch sharding with zero
+        # collectives (blocks act per-sample, so grouping is free).
         def micro(a):  # (B, ...) → (n_micro, mb, ...)
-            return a.reshape((n_micro, mb) + a.shape[1:])
+            return a.reshape((mb, n_micro) + a.shape[1:]).swapaxes(0, 1)
 
         x_micro = micro(h)
         enc_m = micro(enc)
         t6_m = micro(t6)
         bias_m = None if enc_bias is None else micro(enc_bias)
         masks = jnp.asarray(mask_arr)
-        # cache (nb, B, T, d) → (nb, n_micro, mb, T, d)
-        cache_m = jax.tree.map(
-            lambda a: a.reshape((nb, n_micro, mb) + a.shape[2:]), cache
+
+        def micro1(a):  # (nb, B, ...) → (nb, n_micro, mb, ...)
+            return a.reshape((nb, mb, n_micro) + a.shape[2:]).swapaxes(1, 2)
+
+        cache_m = jax.tree.map(micro1, cache)
+        kv_m = (
+            None if kv_stacked is None else jax.tree.map(micro1, kv_stacked)
         )
 
         spec = lambda t_, s_: jax.tree.map(lambda _: s_, t_)  # noqa: E731
         act_spec = P(None, "dp")
         cache_spec = spec(cache_m, P("pp", None, "dp"))
-        in_specs = [
-            spec(stacked_params, P("pp")),
-            act_spec,
-            act_spec,
-            act_spec,
-            act_spec,  # bias slot, dropped below when absent
-            cache_spec,
-            P("pp"),
-        ]
-        if bias_m is None:
-            del in_specs[4]
-            body = lambda bp, x, e, t6_, cl, ml: pipeline_body(  # noqa: E731
-                bp, x, e, t6_, None, cl, ml
-            )
-            args = (stacked_params, x_micro, enc_m, t6_m, cache_m, masks)
-        else:
-            body = pipeline_body
-            args = (
-                stacked_params, x_micro, enc_m, t6_m, bias_m, cache_m, masks
-            )
+        operands = [stacked_params, x_micro, enc_m, t6_m]
+        in_specs = [spec(stacked_params, P("pp")), act_spec, act_spec,
+                    act_spec]
+        has_bias, has_kv = bias_m is not None, kv_m is not None
+        if has_bias:
+            operands.append(bias_m)
+            in_specs.append(act_spec)
+        if has_kv:
+            operands.append(kv_m)
+            in_specs.append(spec(kv_m, P("pp", None, "dp")))
+        operands += [cache_m, masks]
+        in_specs += [cache_spec, P("pp")]
+
+        def body(bp, x, e, t6_, *rest):
+            it = list(rest)
+            bias = it.pop(0) if has_bias else None
+            kv = it.pop(0) if has_kv else None
+            cl, ml = it
+            return pipeline_body(bp, x, e, t6_, bias, kv, cl, ml)
+
         fn = jax.shard_map(
             body,
             mesh=mesh,
@@ -278,11 +318,12 @@ def build_pp_forward(model: PixArtTransformer, mesh: Mesh, n_micro: int):
             out_specs=(act_spec, cache_spec),
             check_vma=False,
         )
-        out_m, new_cache_m = fn(*args)
+        out_m, new_cache_m = fn(*operands)
 
-        out = out_m.reshape((b,) + out_m.shape[2:])
+        out = out_m.swapaxes(0, 1).reshape((b,) + out_m.shape[2:])
         new_cache = jax.tree.map(
-            lambda a: a.reshape((nb, b) + a.shape[3:]), new_cache_m
+            lambda a: a.swapaxes(1, 2).reshape((nb, b) + a.shape[3:]),
+            new_cache_m,
         )
         noise = model.apply(
             {"params": rest_params},
@@ -347,6 +388,15 @@ class PipelinedPopulationDenoiser:
                 for k in COMPONENTS
             }
             x0_init = jnp.zeros_like(noise, jnp.float32)
+            # trajectory-constant text work hoisted out of the step scan,
+            # mirroring PopulationDenoiser: caption projection once (vs 20×)
+            # and every block's cross-attention K/V once (vs 20 × nb ×
+            # n_micro recomputations inside the pipeline stages)
+            enc_pre, _ = p.model.apply(
+                {"params": rest}, enc2,
+                method=PixArtTransformer.encode_text, with_kv=False,
+            )
+            kv_pre = stacked_cross_kv(p.config.model, stacked, enc_pre)
 
             def body(carry, inp):
                 x, prev_x0, cache = carry
@@ -356,6 +406,7 @@ class PipelinedPopulationDenoiser:
                 out, cache = self._fwd(
                     stacked, rest, lat2, enc2, t, cache, mask_row,
                     text_mask=enc_mask2, resolution=res, aspect_ratio=ar,
+                    text_precomputed=(enc_pre, kv_pre),
                 )
                 new_x, x0 = cfg_dpm_step(
                     x, prev_x0, co, out, p.config.guidance_scale,

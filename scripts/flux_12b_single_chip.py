@@ -142,13 +142,17 @@ def main() -> None:
         }
         print(json.dumps({name: results[name]}), flush=True)
 
+    # headline row: ours_fast when measured (the historical metric name in
+    # BENCH_LADDER/PROGRESS), otherwise the last row actually run — keeps a
+    # no-argument run emitting the same metric across revisions
+    head = "ours_fast" if "ours_fast" in results else rows[-1]
     print(
         json.dumps(
             {
-                "metric": f"flux_12b_single_chip_{rows[-1]}_absolute",
-                "value": results[rows[-1]]["ms_per_image"],
+                "metric": f"flux_12b_single_chip_{head}_absolute",
+                "value": results[head]["ms_per_image"],
                 "unit": "ms_per_image",
-                "vs_baseline": results[rows[-1]][
+                "vs_baseline": results[head][
                     "absolute_speedup_vs_a6000"
                 ],
                 "detail": {
