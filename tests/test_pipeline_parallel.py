@@ -72,10 +72,16 @@ def test_pp_forward_matches_plain(dp, pp, n_micro):
         stacked, rest, lat, text, t, sc, jnp.asarray(mask_np)
     )
 
-    np.testing.assert_allclose(np.asarray(out_pp), np.asarray(out_ref))
+    # tight but not bitwise: with dp sharding the batch axis, XLA tiles the
+    # block matmuls differently per shard — 1-ulp reassociation drift
+    np.testing.assert_allclose(
+        np.asarray(out_pp), np.asarray(out_ref), rtol=1e-6, atol=1e-6
+    )
     ref = to_stacked_cache(cache_ref)
     for k in ref:
-        np.testing.assert_allclose(np.asarray(cache_pp[k]), np.asarray(ref[k]))
+        np.testing.assert_allclose(
+            np.asarray(cache_pp[k]), np.asarray(ref[k]), rtol=1e-6, atol=1e-6
+        )
     # stage-local placement survives the call (batch may additionally
     # shard over dp — the boundary layout pp_shardings documents)
     spec = cache_pp["attn1"].sharding.spec
@@ -252,6 +258,8 @@ def test_pipelined_population_denoiser_matches_plain():
         ppd = PipelinedPopulationDenoiser(pipe, mesh, n_micro=2)
         got = ppd.denoise(masks, noise, text, neg)
 
+    # 20-step trajectories accumulate the per-step ulp drift from the
+    # dp-sharded batch layout; observed max ~7e-5 relative on O(100) values
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        np.asarray(got), np.asarray(want), rtol=3e-4, atol=1e-4
     )
