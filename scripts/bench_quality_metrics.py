@@ -185,7 +185,7 @@ def main() -> None:
     report(
         "image_reward_images_per_sec", round(BATCH / sec, 1), "img/s",
         batch=BATCH, ms_per_image=round(sec / BATCH * 1e3, 3),
-        note="ViT-L/14 + BERT cross-encoder + MLP head, on-device "
+        note="ViT-L/16 + BERT cross-encoder + MLP head, on-device "
         "preprocess",
     )
 

@@ -10,7 +10,7 @@ denoise → VAE decode → ImageReward scoring with the whole chain on device
 through the BERT tokenizer path.
 
 Weights are random (wall-clock is weight-independent); the ImageReward
-tower is the real architecture (ViT-L/14 + BERT cross-encoder + MLP head)
+tower is the real architecture (ViT-L/16 + BERT cross-encoder + MLP head)
 with random parameters and a deterministic stand-in tokenizer (the BERT
 vocab file is not in this image — tokenization cost is microseconds of
 host work either way).

@@ -72,15 +72,17 @@ def test_pp_forward_matches_plain(dp, pp, n_micro):
         stacked, rest, lat, text, t, sc, jnp.asarray(mask_np)
     )
 
-    # tight but not bitwise: with dp sharding the batch axis, XLA tiles the
-    # block matmuls differently per shard — 1-ulp reassociation drift
+    # dp>1 shards the batch axis, so XLA tiles the block matmuls
+    # differently per shard — 1-ulp reassociation drift. dp=1 keeps the
+    # single-device layout and must stay bitwise identical.
+    tol = dict(rtol=1e-6, atol=1e-6) if dp > 1 else {}
     np.testing.assert_allclose(
-        np.asarray(out_pp), np.asarray(out_ref), rtol=1e-6, atol=1e-6
+        np.asarray(out_pp), np.asarray(out_ref), **tol
     )
     ref = to_stacked_cache(cache_ref)
     for k in ref:
         np.testing.assert_allclose(
-            np.asarray(cache_pp[k]), np.asarray(ref[k]), rtol=1e-6, atol=1e-6
+            np.asarray(cache_pp[k]), np.asarray(ref[k]), **tol
         )
     # stage-local placement survives the call (batch may additionally
     # shard over dp — the boundary layout pp_shardings documents)
@@ -258,8 +260,8 @@ def test_pipelined_population_denoiser_matches_plain():
         ppd = PipelinedPopulationDenoiser(pipe, mesh, n_micro=2)
         got = ppd.denoise(masks, noise, text, neg)
 
-    # 20-step trajectories accumulate the per-step ulp drift from the
-    # dp-sharded batch layout; observed max ~7e-5 relative on O(100) values
+    # the 3-step trajectory accumulates per-step ulp drift from the
+    # dp-sharded batch layout; observed max ~7e-5 relative at steps=3
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=3e-4, atol=1e-4
+        np.asarray(got), np.asarray(want), rtol=1.5e-4, atol=5e-5
     )
