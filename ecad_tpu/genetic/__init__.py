@@ -1,5 +1,15 @@
-from .evaluate import CandidateEvaluator, EvalConfig, latents_to_uint8
-from .nsga2 import NSGA2, crowding_distance, fast_non_dominated_sort
+from .evaluate import (
+    CandidateEvaluator,
+    EvalConfig,
+    fidelity_snr_db,
+    latents_to_uint8,
+)
+from .nsga2 import (
+    NSGA2,
+    crowding_distance,
+    fast_non_dominated_sort,
+    hypervolume_2d,
+)
 from .population_io import (
     FluxPopulationIOManager,
     PixArtPopulationIOManager,
@@ -16,6 +26,8 @@ __all__ = [
     "CandidateEvaluator",
     "EvalConfig",
     "latents_to_uint8",
+    "fidelity_snr_db",
+    "hypervolume_2d",
 ]
 from .problems import CachingScheduleProblem, flux_problem, pixart_problem
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..models.pixart import schedule_step_masks
 from ..pipelines import PixArtPipeline, SharedModelStepper
-from ..scoring import get_scorer, merge_scores
+from ..scoring import aggregate_scores, get_scorer, merge_scores
 from .population_io import PopulationIOManager
 
 
@@ -36,6 +36,27 @@ def latents_to_uint8(latents: jax.Array) -> np.ndarray:
     x = np.asarray(latents, dtype=np.float32)
     x = np.clip((x[..., :3] / 4.0 + 0.5), 0, 1)
     return (x * 255).astype(np.uint8)
+
+
+@jax.jit
+def fidelity_snr_db(latents: jax.Array, reference: jax.Array) -> jax.Array:
+    """Per-image trajectory fidelity: SNR (dB) of a candidate's final
+    latents against the UNCACHED trajectory of the same model on the same
+    noise/prompt batch — the quantity caching actually degrades.
+
+    The reference optimizes ImageReward on generated images
+    (ecad/genetic/pixart_problem.py:51-62); fidelity is the weight-free
+    stand-in quality objective: real (not a hash), computable without
+    checkpoints, and monotone in the caching error. Higher is better;
+    capped at 200 dB (an exact-match candidate has mse 0)."""
+    lat = latents.astype(jnp.float32)
+    ref = reference.astype(jnp.float32)
+    axes = tuple(range(1, lat.ndim))
+    mse = jnp.mean((lat - ref) ** 2, axis=axes)
+    power = jnp.mean(ref**2, axis=axes)
+    safe_mse = jnp.where(mse > 0, mse, 1.0)
+    snr = 10.0 * jnp.log10((power + 1e-20) / safe_mse)
+    return jnp.where(mse > 0, jnp.minimum(snr, 200.0), 200.0)
 
 
 @dataclass
@@ -156,26 +177,78 @@ class CandidateEvaluator:
         else:
             masks = self._schedule_masks(schedule)
             denoise = self.stepper.denoise
-        noise, text, neg, prompts, ids = self._noise_batch()
-        scorer = get_scorer(self.config.scorer)
+        return self._eval_with_masks(masks, denoise)
+
+    def _eval_with_masks(self, masks, denoise) -> tuple[dict, np.ndarray]:
+        """Chunked denoise → score loop shared by both model flavors.
+
+        scorer == "fidelity" scores in LATENT space against the uncached
+        trajectory (no decode unless images were asked for); every other
+        scorer sees decoded images — with a device decode_fn + a
+        device-capable scorer the whole denoise→decode→score chain stays
+        on chip."""
+        *arrays, prompts, ids = self._noise_batch()
+        fidelity = self.config.scorer == "fidelity"
+        scorer = None if fidelity else get_scorer(self.config.scorer)
+        ref = self._reference_latents() if fidelity else None
         bs = self.config.batch_size or len(prompts)
         imgs_all, score_chunks = [], []
         for lo in range(0, len(prompts), bs):
             hi = min(lo + bs, len(prompts))
-            n_b, t_b, g_b = self._shard(
-                noise[lo:hi], text[lo:hi], neg[lo:hi]
-            )
-            latents = denoise(masks, n_b, t_b, g_b)
-            imgs = self.decode_fn(latents)
-            # score per chunk: with a device decode_fn + device-capable
-            # scorer the whole denoise→decode→score chain stays on chip
-            score_chunks.append(scorer(imgs, prompts[lo:hi], ids[lo:hi]))
+            sharded = self._shard(*(a[lo:hi] for a in arrays))
+            latents = denoise(masks, *sharded)
+            if fidelity:
+                per_image = np.asarray(fidelity_snr_db(latents, ref[lo:hi]))
+                score_chunks.append(
+                    aggregate_scores(per_image, prompts[lo:hi], ids[lo:hi])
+                )
+                if not self.config.return_images:
+                    continue
+            imgs = self._decode(latents)
+            if not fidelity:
+                score_chunks.append(scorer(imgs, prompts[lo:hi], ids[lo:hi]))
             if self.config.return_images:
                 imgs_all.append(np.asarray(imgs))
         scores = merge_scores(score_chunks)
         if not self.config.return_images:
             return scores, None
         return scores, np.concatenate(imgs_all)
+
+    def _decode(self, latents):
+        return self.decode_fn(latents)
+
+    def _all_true_masks(self):
+        """All-compute masks (the default schedule) in the active eval
+        mode's format — the uncached reference trajectory's masks."""
+        c = self.pipeline.config.model
+        steps = self.pipeline.config.num_inference_steps
+        if self.config.mode == "dynamic":
+            return np.ones((steps, c.num_blocks, 3), dtype=bool)
+        return [tuple(((True,) * 3) for _ in range(c.num_blocks))] * steps
+
+    def _reference_latents(self) -> jax.Array:
+        """Final latents of the UNCACHED trajectory for the evaluator's
+        (deterministic) noise batch, through the SAME denoise program the
+        candidates run — computed once per eval mode and kept on device
+        (a population's whole generation shares it)."""
+        key = self.config.mode
+        if getattr(self, "_ref_latents_key", None) != key:
+            masks = self._all_true_masks()
+            denoise = (
+                self.dynamic.denoise
+                if self.config.mode == "dynamic"
+                else self.stepper.denoise
+            )
+            *arrays, prompts, _ids = self._noise_batch()
+            bs = self.config.batch_size or len(prompts)
+            chunks = []
+            for lo in range(0, len(prompts), bs):
+                hi = min(lo + bs, len(prompts))
+                sharded = self._shard(*(a[lo:hi] for a in arrays))
+                chunks.append(denoise(masks, *sharded))
+            self._ref_latents = jnp.concatenate(chunks)
+            self._ref_latents_key = key
+        return self._ref_latents
 
     def _schedule_masks(self, schedule):
         return schedule_step_masks(schedule, self.pipeline.config.model)
@@ -288,8 +361,6 @@ class FluxCandidateEvaluator(CandidateEvaluator):
         )
 
     def _evaluate_candidate(self, schedule):
-        from ..models.flux import unpack_latents
-
         if self.config.mode == "dynamic":
             c = self.pipeline.config.model
             n_slots = c.num_blocks + c.num_single_blocks
@@ -301,22 +372,20 @@ class FluxCandidateEvaluator(CandidateEvaluator):
         else:
             masks = self._schedule_masks(schedule)
             denoise = self.stepper.denoise
-        noise, text, pooled, prompts, ids = self._noise_batch()
-        scorer = get_scorer(self.config.scorer)
-        bs = self.config.batch_size or len(prompts)
+        return self._eval_with_masks(masks, denoise)
+
+    def _decode(self, packed):
+        from ..models.flux import unpack_latents
+
         gh, gw = self.pipeline.config.grid_hw
-        imgs_all, score_chunks = [], []
-        for lo in range(0, len(prompts), bs):
-            hi = min(lo + bs, len(prompts))
-            n_b, t_b, p_b = self._shard(
-                noise[lo:hi], text[lo:hi], pooled[lo:hi]
-            )
-            packed = denoise(masks, n_b, t_b, p_b)
-            imgs = self.decode_fn(unpack_latents(packed, gh, gw))
-            score_chunks.append(scorer(imgs, prompts[lo:hi], ids[lo:hi]))
-            if self.config.return_images:
-                imgs_all.append(np.asarray(imgs))
-        scores = merge_scores(score_chunks)
-        if not self.config.return_images:
-            return scores, None
-        return scores, np.concatenate(imgs_all)
+        return self.decode_fn(unpack_latents(packed, gh, gw))
+
+    def _all_true_masks(self):
+        from ..models.flux import full_flux_mask
+
+        c = self.pipeline.config.model
+        steps = self.pipeline.config.num_inference_steps
+        if self.config.mode == "dynamic":
+            n_slots = c.num_blocks + c.num_single_blocks
+            return np.ones((steps, n_slots, 3), dtype=bool)
+        return [full_flux_mask(c)] * steps

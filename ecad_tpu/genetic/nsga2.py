@@ -68,6 +68,33 @@ def crowding_distance(F: np.ndarray) -> np.ndarray:
     return d
 
 
+def hypervolume_2d(F: np.ndarray, ref_point: np.ndarray) -> float:
+    """Hypervolume (minimization) of a 2-objective set against `ref_point`:
+    the area dominated by F's non-dominated subset inside the box bounded
+    by ref_point. Standard sweep: sort the front by the first objective
+    and accumulate rectangles. Points not strictly below ref_point in both
+    objectives contribute nothing."""
+    F = np.asarray(F, dtype=np.float64)
+    if F.ndim != 2 or F.shape[1] != 2:
+        raise ValueError(f"expected (n, 2) objectives, got {F.shape}")
+    ref = np.asarray(ref_point, dtype=np.float64)
+    inside = (F < ref).all(axis=1)
+    F = F[inside]
+    if not len(F):
+        return 0.0
+    front = fast_non_dominated_sort(F)[0]
+    pts = F[front]
+    order = np.argsort(pts[:, 0], kind="stable")
+    pts = pts[order]
+    hv = 0.0
+    prev_f1 = ref[1]
+    for f0, f1 in pts:
+        if f1 < prev_f1:  # non-dominated sweep: f1 strictly decreasing
+            hv += (ref[0] - f0) * (prev_f1 - f1)
+            prev_f1 = f1
+    return float(hv)
+
+
 def constraint_violation(G: Optional[np.ndarray]) -> np.ndarray:
     """Total violation per individual (0 = feasible). G<=0 is feasible."""
     if G is None:

@@ -56,7 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--start-seed", type=int, default=0)
     p.add_argument("--seed-step", type=int, default=1)
     p.add_argument("--scorer", default="mock",
-                   help="scorer registry name (mock | image_reward | clip)")
+                   help="scorer name (mock | fidelity | image_reward | "
+                        "clip). 'fidelity' needs no weights: it scores "
+                        "each candidate's final latents against the "
+                        "uncached trajectory of the same model "
+                        "(latent-space SNR dB — the quantity caching "
+                        "degrades; evaluate.py:fidelity_snr_db)")
     p.add_argument("--weights-root", type=Path, default=None,
                    help="root of local HF-layout checkpoints (e.g. "
                         "<root>/PixArt-alpha/PixArt-XL-2-256x256/"

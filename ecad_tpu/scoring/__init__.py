@@ -10,6 +10,11 @@ available in every deployment, so scorers are a registry:
   CLIP weights.
 * ``mock`` — deterministic, weight-free scorer for tests and loop plumbing:
   hashes image content into a stable pseudo-score. NOT a quality metric.
+* ``fidelity`` — trajectory fidelity vs the uncached run of the SAME model
+  (latent-space SNR in dB); a real, weight-free quality objective — the
+  quantity caching actually degrades. Implemented inside the candidate
+  evaluator (it needs the reference trajectory), see
+  ecad_tpu/genetic/evaluate.py:fidelity_snr_db.
 
 All scorers return the reference's scores.json payload shape:
 {"total_score": float, "avg_by_prompt": {...}, "score_by_prompt_id": {...}}
@@ -54,6 +59,11 @@ def _aggregate(
         "avg_by_prompt": avg_by_prompt,
         "score_by_prompt_id": by_prompt,
     }
+
+
+# public alias: evaluator-side scorers (fidelity) reuse the same
+# scores.json aggregation
+aggregate_scores = _aggregate
 
 
 @ScorerRegistry.register(name="mock")

@@ -1,0 +1,261 @@
+"""Search-quality analysis: does the evolved Pareto front dominate the
+heuristic schedule families? (VERDICT r3 item 1, deliverables b + c.)
+
+The reference's core claim is that NSGA-II-evolved schedules beat the
+heuristic baselines (FORA-style recompute-every-n, TGATE, evenly-spaced
+grids) at equal compute (ecad/genetic/train_nsga2_base.py:255-283 drives
+the search; schedules_in_paper/** are its outputs). This script measures
+that claim for OUR on-TPU search with the trajectory-fidelity objective:
+
+1. rebuilds the exact evaluator the search ran (same seed → same noise
+   batch → same uncached reference trajectory, dynamic mode, full-size
+   PixArt-α 256, bf16 serving weights),
+2. evaluates every heuristic family member + the paper's evolved
+   `ours_fast/faster/fastest` points under that objective,
+3. re-evaluates the evolved front candidates from the search run dir
+   (no trust in the on-disk scores — same program, fresh numbers),
+4. reports per-family dominance at equal MACs and hypervolume in
+   (−fidelity_dB, macs_T) space, plus a plot-data JSON.
+
+Usage:
+  python scripts/bench_search_quality.py --run-dir search_runs/fidelity_pixart256 \
+      [--out search_runs/fidelity_pixart256/search_quality.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402  (repo-root: compile-cache env)
+
+import numpy as np  # noqa: E402
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+PAPER_DIR = REPO / "schedules/schedules_in_paper/pixart_alpha_256"
+
+NUM_BLOCKS = 28
+STEPS = 20
+NUM_PROMPTS = 16
+SEED = 0
+
+HEURISTIC_FAMILIES = (
+    "gen_recompute_all_every_n",  # FORA-style
+    "gen_recompute_ca_sa_every_n",
+    "gen_tgate",
+    "gen_evenly_cache_ca_evenly_spaced",
+    "gen_evenly_cache_sa_evenly_spaced",
+    "gen_evenly_cache_ff_evenly_spaced",
+)
+
+
+def build_evaluator():
+    """The search's evaluator, bit-identically (train.py build_evaluator
+    with the run's flags: full-size model, seed 0, 16 prompts, dynamic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecad_tpu.genetic import CandidateEvaluator, EvalConfig
+    from ecad_tpu.models import PixArtConfig, init_params
+    from ecad_tpu.models.common import serving_cast
+    from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
+
+    config = PixArtConfig()
+    _, params = init_params(config, SEED)
+    pipe = PixArtPipeline(
+        PixArtPipelineConfig(model=config, num_inference_steps=STEPS),
+        params,
+    )
+    pipe.params = serving_cast(pipe.params, config.dtype)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(SEED))
+    text = jax.random.normal(
+        k1, (NUM_PROMPTS, config.text_len, config.caption_dim)
+    ).astype(config.dtype)
+    neg = jax.random.normal(
+        k2, (NUM_PROMPTS, config.text_len, config.caption_dim)
+    ).astype(config.dtype)
+    prompts = [f"prompt_{i}" for i in range(NUM_PROMPTS)]
+    cfg = EvalConfig(scorer="fidelity", mode="dynamic", return_images=False)
+    return CandidateEvaluator(pipe, text, neg, prompts, cfg)
+
+
+def macs_T(schedule) -> float:
+    from ecad_tpu.macs import attach_metrics
+
+    attach_metrics(schedule)
+    return float(schedule.metrics["total_macs_T"])
+
+
+def eval_point(ev, schedule, name: str, family: str) -> dict:
+    t0 = time.perf_counter()
+    scores, _ = ev.evaluate_candidate(schedule)
+    return {
+        "name": name,
+        "family": family,
+        "fidelity_db": float(scores["total_score"]),
+        "macs_T": macs_T(schedule),
+        "eval_sec": round(time.perf_counter() - t0, 2),
+    }
+
+
+def heuristic_points(ev) -> list[dict]:
+    import ecad_tpu.schedules.generators.pixart_cache as G
+
+    points = []
+    for fam in HEURISTIC_FAMILIES:
+        for sched in getattr(G, fam)(NUM_BLOCKS, STEPS):
+            points.append(eval_point(ev, sched, sched.name, fam))
+            print(json.dumps(points[-1]), flush=True)
+    return points
+
+
+def paper_points(ev) -> list[dict]:
+    from ecad_tpu.schedules import PixArtCacheSchedule
+
+    points = []
+    for name in ("ours_fast", "ours_faster", "ours_fastest"):
+        sched = PixArtCacheSchedule.from_json(PAPER_DIR / f"{name}.json")
+        points.append(eval_point(ev, sched, name, "paper_evolved_reference"))
+        print(json.dumps(points[-1]), flush=True)
+    return points
+
+
+def evolved_front_points(ev, run_dir: pathlib.Path) -> tuple[list[dict], int]:
+    """Load the run's final algorithm state, take the non-dominated set,
+    and RE-evaluate it with this evaluator."""
+    from ecad_tpu.genetic import PixArtPopulationIOManager, NSGA2
+    from ecad_tpu.genetic.nsga2 import fast_non_dominated_sort
+
+    pops = run_dir / "populations"
+    names = [p.name for p in pops.iterdir() if p.is_dir()]
+    assert len(names) == 1, names
+    gens = sorted((pops / names[0]).glob("gen_*/checkpoint.npz"))
+    assert gens, f"no checkpoints under {pops / names[0]}"
+    ckpt = gens[-1]
+    gen_num = int(ckpt.parent.name.split("_")[1])
+    algo = NSGA2.load(ckpt)
+    mgr = PixArtPopulationIOManager(
+        names[0],
+        all_populations_dir=pops,
+        all_benchmarks_dir=run_dir / "benchmarks",
+        generation_num=gen_num,
+        num_inference_steps=STEPS,
+    )
+    front_idx = fast_non_dominated_sort(algo.F)[0]
+    points = []
+    for j, i in enumerate(front_idx):
+        sched = mgr.vector_to_schedule(algo.X[i], int(i))
+        p = eval_point(ev, sched, f"evolved_{j:02d}", "evolved")
+        p["search_F"] = [float(v) for v in algo.F[i]]
+        points.append(p)
+        print(json.dumps(p), flush=True)
+    return points, gen_num
+
+
+def dominance_stats(evolved: list[dict], others: list[dict]) -> dict:
+    """For each non-evolved point: is there an evolved point with
+    macs_T <= point's (+tol) and fidelity >= point's? Strict dominance =
+    at least one inequality strict."""
+    tol = 1e-9
+    by_family: dict[str, dict] = {}
+    for p in others:
+        dominated = any(
+            e["macs_T"] <= p["macs_T"] + tol
+            and e["fidelity_db"] >= p["fidelity_db"] - tol
+            and (
+                e["macs_T"] < p["macs_T"] - tol
+                or e["fidelity_db"] > p["fidelity_db"] + tol
+            )
+            for e in evolved
+        )
+        fam = by_family.setdefault(
+            p["family"], {"n": 0, "dominated": 0, "undominated": []}
+        )
+        fam["n"] += 1
+        fam["dominated"] += int(dominated)
+        if not dominated:
+            fam["undominated"].append(p["name"])
+    for fam in by_family.values():
+        fam["dominated_pct"] = round(100.0 * fam["dominated"] / fam["n"], 1)
+    return by_family
+
+
+def hypervolumes(evolved, heuristics) -> dict:
+    from ecad_tpu.genetic import hypervolume_2d
+
+    def F(points):
+        return np.array(
+            [[-p["fidelity_db"], p["macs_T"]] for p in points], np.float64
+        )
+    all_F = np.concatenate([F(evolved), F(heuristics)])
+    ref = all_F.max(axis=0) + 1.0
+    return {
+        "ref_point_neg_fid_macsT": [float(v) for v in ref],
+        "evolved": hypervolume_2d(F(evolved), ref),
+        "heuristics_union": hypervolume_2d(F(heuristics), ref),
+        "evolved_plus_heuristics": hypervolume_2d(all_F, ref),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--run-dir", type=pathlib.Path, required=True)
+    ap.add_argument("--out", type=pathlib.Path, default=None)
+    ap.add_argument("--skip-heuristics", action="store_true",
+                    help="reuse heuristic points from an existing --out file")
+    args = ap.parse_args()
+    out_path = args.out or (args.run_dir / "search_quality.json")
+
+    ev = build_evaluator()
+    evolved, gen_num = evolved_front_points(ev, args.run_dir)
+    if args.skip_heuristics and out_path.exists():
+        prev = json.loads(out_path.read_text())
+        heur = [p for p in prev["points"] if p["family"] != "evolved"
+                and p["family"] != "paper_evolved_reference"]
+        paper = [p for p in prev["points"]
+                 if p["family"] == "paper_evolved_reference"]
+    else:
+        heur = heuristic_points(ev)
+        paper = paper_points(ev)
+
+    stats = {
+        "final_generation": gen_num,
+        "objective": "trajectory fidelity (latent SNR dB vs uncached) "
+                     "maximized; total_macs_T minimized",
+        "dominance_at_equal_macs": dominance_stats(evolved, heur + paper),
+        "hypervolume": hypervolumes(evolved, heur),
+        "points": evolved + heur + paper,
+    }
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(stats, indent=1))
+
+    dom = stats["dominance_at_equal_macs"]
+    summary = {
+        "metric": "search_quality_dominance_pct",
+        "value": round(
+            100.0
+            * sum(f["dominated"] for k, f in dom.items()
+                  if k != "paper_evolved_reference")
+            / max(1, sum(f["n"] for k, f in dom.items()
+                         if k != "paper_evolved_reference")),
+            1,
+        ),
+        "unit": "pct_heuristics_dominated",
+        "detail": {
+            "per_family": {
+                k: f["dominated_pct"] for k, f in dom.items()
+            },
+            "hypervolume": stats["hypervolume"],
+            "out": str(out_path),
+        },
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

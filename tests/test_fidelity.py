@@ -1,0 +1,177 @@
+"""Trajectory-fidelity objective: the weight-free quality scorer the
+NSGA-II loop optimizes on TPU (VERDICT r3 item 1).
+
+The reference's search optimizes ImageReward on generated images
+(ecad/genetic/pixart_problem.py:51-62); without checkpoints the real,
+computable stand-in is latent-space fidelity against the uncached
+trajectory of the same model — the quantity caching degrades. These tests
+pin: exactness for the all-compute candidate, monotonicity (light caching
+beats cache-everything), both eval modes, the Flux flavor, hypervolume
+accounting, and one end-to-end train-CLI cycle with --scorer fidelity.
+"""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ecad_tpu.genetic import (
+    CandidateEvaluator,
+    EvalConfig,
+    hypervolume_2d,
+)
+from ecad_tpu.models import PixArtConfig, init_params
+from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
+from ecad_tpu.schedules import PixArtCacheSchedule
+
+STEPS = 4
+
+
+def _evaluator(mode="dynamic", steps=STEPS):
+    config = PixArtConfig.tiny(dtype=jnp.float32)
+    _, params = init_params(config, 0)
+    pipe = PixArtPipeline(
+        PixArtPipelineConfig(model=config, num_inference_steps=steps), params
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    text = jax.random.normal(k1, (2, config.text_len, config.caption_dim))
+    neg = jax.random.normal(k2, (2, config.text_len, config.caption_dim))
+    return (
+        CandidateEvaluator(
+            pipe, text, neg, ["a", "b"],
+            EvalConfig(scorer="fidelity", mode=mode),
+        ),
+        config,
+    )
+
+
+def _schedule(mask: np.ndarray, config) -> PixArtCacheSchedule:
+    return PixArtCacheSchedule.from_numpy(
+        mask.reshape(-1), STEPS, config.num_blocks, name="t"
+    )
+
+
+@pytest.mark.parametrize("mode", ["dynamic", "stepwise"])
+def test_all_compute_candidate_is_exact(mode):
+    """The all-True genome reproduces the reference trajectory bit-exactly
+    → capped 200 dB score."""
+    ev, config = _evaluator(mode)
+    sched = _schedule(np.ones((STEPS, config.num_blocks, 3), bool), config)
+    scores, imgs = ev.evaluate_candidate(sched)
+    assert scores["total_score"] == 200.0
+    assert imgs is not None  # return_images default still delivers images
+
+
+def test_light_caching_beats_cache_everything():
+    ev, config = _evaluator()
+    light = np.ones((STEPS, config.num_blocks, 3), bool)
+    light[2, 0, 2] = False  # reuse one FF cache at one step
+    heavy = np.zeros((STEPS, config.num_blocks, 3), bool)  # step-0 forced
+    s_light, _ = ev.evaluate_candidate(_schedule(light, config))
+    s_heavy, _ = ev.evaluate_candidate(_schedule(heavy, config))
+    assert s_light["total_score"] > s_heavy["total_score"]
+    assert s_heavy["total_score"] < 200.0
+    # per-prompt payload keeps the scores.json contract
+    assert set(s_light) >= {"total_score", "avg_by_prompt",
+                            "score_by_prompt_id"}
+
+
+def test_reference_latents_cached_once():
+    ev, config = _evaluator()
+    sched = _schedule(np.ones((STEPS, config.num_blocks, 3), bool), config)
+    ev.evaluate_candidate(sched)
+    ref1 = ev._ref_latents
+    ev.evaluate_candidate(sched)
+    assert ev._ref_latents is ref1  # no recompute within a generation
+
+
+def test_flux_fidelity():
+    from ecad_tpu.genetic.evaluate import FluxCandidateEvaluator
+    from ecad_tpu.models.flux import FluxConfig, init_flux_params
+    from ecad_tpu.pipelines.flux_pipeline import FluxPipeline, FluxPipelineConfig
+    from ecad_tpu.schedules import FluxCacheSchedule
+
+    config = FluxConfig.tiny(dtype=jnp.float32)
+    _, params = init_flux_params(config, 0)
+    steps = 3
+    pcfg = FluxPipelineConfig(
+        model=config, num_inference_steps=steps, height=64, width=64
+    )
+    pipe = FluxPipeline(pcfg, params)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    text = jax.random.normal(k1, (2, config.text_len, config.joint_dim))
+    pooled = jax.random.normal(k2, (2, config.pooled_dim))
+    ev = FluxCandidateEvaluator(
+        pipe, text, pooled, ["a", "b"], EvalConfig(scorer="fidelity")
+    )
+    n_slots = config.num_blocks + config.num_single_blocks
+    full = FluxCacheSchedule.from_numpy(
+        np.ones(steps * n_slots * 3, bool), steps, config.num_blocks,
+        num_single_blocks=config.num_single_blocks, name="full",
+        top_level_config={},
+    )
+    cached = FluxCacheSchedule.from_numpy(
+        np.zeros(steps * n_slots * 3, bool), steps, config.num_blocks,
+        num_single_blocks=config.num_single_blocks, name="cached",
+        top_level_config={},
+    )
+    s_full, _ = ev.evaluate_candidate(full)
+    s_cached, _ = ev.evaluate_candidate(cached)
+    assert s_full["total_score"] == 200.0
+    assert s_cached["total_score"] < s_full["total_score"]
+
+
+def test_hypervolume_2d():
+    ref = np.array([1.0, 1.0])
+    # single point dominating a quarter of the unit box
+    assert hypervolume_2d(np.array([[0.5, 0.5]]), ref) == pytest.approx(0.25)
+    # dominated point adds nothing
+    hv = hypervolume_2d(np.array([[0.5, 0.5], [0.75, 0.75]]), ref)
+    assert hv == pytest.approx(0.25)
+    # staircase front
+    hv = hypervolume_2d(np.array([[0.2, 0.8], [0.5, 0.5], [0.8, 0.2]]), ref)
+    assert hv == pytest.approx(
+        (1 - 0.2) * (1 - 0.8) + (1 - 0.5) * (0.8 - 0.5) + (1 - 0.8) * (0.5 - 0.2)
+    )
+    # points outside the reference box contribute nothing
+    assert hypervolume_2d(np.array([[2.0, 2.0]]), ref) == 0.0
+    # a front strictly dominating another has larger hypervolume
+    a = np.array([[0.2, 0.3], [0.4, 0.1]])
+    b = a + 0.2
+    assert hypervolume_2d(a, ref) > hypervolume_2d(b, ref)
+
+
+def test_train_cli_fidelity_cycle(tmp_path):
+    """One full ask/tell cycle with --scorer fidelity on the tiny model:
+    scores.json written with real SNR values (not the mock hash scale)."""
+    pop = tmp_path / "pops"
+    benchdir = tmp_path / "bench"
+    cmd = [
+        sys.executable, "-m", "ecad_tpu.genetic.train",
+        "--name", "fid",
+        "--population-size", "4",
+        "--num-inference-steps", "3",
+        "--num-cycles", "1",
+        "--random-seed-gen-0",
+        "--tiny-model",
+        "--scorer", "fidelity",
+        "--num-prompts", "2",
+        "--populations-dir", str(pop),
+        "--benchmarks-dir", str(benchdir),
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    score_files = sorted(
+        (benchdir / "fid").glob("gen_*/candidates/cand_*/scores.json")
+    )
+    assert len(score_files) == 4
+    totals = [json.loads(p.read_text())["total_score"] for p in score_files]
+    # SNR-dB scale: finite, positive for at least partially-faithful
+    # candidates, and not the mock scorer's [-1, 1] hash range
+    assert all(np.isfinite(t) for t in totals)
+    assert max(totals) > 1.5
