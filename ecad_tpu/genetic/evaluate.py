@@ -38,6 +38,20 @@ def latents_to_uint8(latents: jax.Array) -> np.ndarray:
     return (x * 255).astype(np.uint8)
 
 
+def _host_values(arr: jax.Array) -> np.ndarray:
+    """Device array → host numpy, pod-safe: arrays sharded over a
+    cross-process mesh are not fully addressable on any one host, so fetch
+    them via process_allgather (fully-replicated result on every host);
+    single-process arrays take the direct path."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    # tiled=True: concatenate the per-process shards along axis 0, i.e.
+    # reassemble the GLOBAL array (stacking is for host-local values)
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 @jax.jit
 def fidelity_snr_db(latents: jax.Array, reference: jax.Array) -> jax.Array:
     """Per-image trajectory fidelity: SNR (dB) of a candidate's final
@@ -189,6 +203,15 @@ class CandidateEvaluator:
         on chip."""
         *arrays, prompts, ids = self._noise_batch()
         fidelity = self.config.scorer == "fidelity"
+        if self._mesh_spans_processes() and (
+            not fidelity or self.config.return_images
+        ):
+            raise ValueError(
+                "cooperative pod evaluation (mesh spanning processes) "
+                "computes device-side scores only: use scorer='fidelity' "
+                "and return_images=False (host scorers / image gathers "
+                "would need every process to address the full batch)"
+            )
         scorer = None if fidelity else get_scorer(self.config.scorer)
         ref = self._reference_latents() if fidelity else None
         bs = self.config.batch_size or len(prompts)
@@ -198,7 +221,7 @@ class CandidateEvaluator:
             sharded = self._shard(*(a[lo:hi] for a in arrays))
             latents = denoise(masks, *sharded)
             if fidelity:
-                per_image = np.asarray(fidelity_snr_db(latents, ref[lo:hi]))
+                per_image = _host_values(fidelity_snr_db(latents, ref[lo:hi]))
                 score_chunks.append(
                     aggregate_scores(per_image, prompts[lo:hi], ids[lo:hi])
                 )
@@ -253,6 +276,16 @@ class CandidateEvaluator:
     def _schedule_masks(self, schedule):
         return schedule_step_masks(schedule, self.pipeline.config.model)
 
+    def _mesh_spans_processes(self) -> bool:
+        """True on a DCN×ICI hybrid mesh: the evaluator's mesh covers
+        devices of more than one process, so every process must execute
+        every candidate's (SPMD) program in lockstep."""
+        if self.mesh is None:
+            return False
+        return (
+            len({d.process_index for d in self.mesh.devices.flat}) > 1
+        )
+
     def evaluate_generation(
         self,
         manager: PopulationIOManager,
@@ -263,27 +296,39 @@ class CandidateEvaluator:
         """Run the full offline-eval stage: per-candidate scores.json +
         analytic MACs written into candidate JSONs.
 
-        Multi-host: each process evaluates its `host_shard` of the
-        candidates (strided by process index); with a shared filesystem the
-        per-candidate scores.json contract makes the cross-host gather
-        free and `check_offline_eval` the barrier."""
+        Multi-host, two regimes (parallel/distributed.py):
+        * work-sharded (no mesh, or a mesh local to each process): each
+          process evaluates its `host_shard` of the candidates (strided by
+          process index) and writes their scores — the pleasingly-parallel
+          tier; with a shared filesystem the per-candidate scores.json
+          contract makes the cross-host gather free and
+          `check_offline_eval` the barrier.
+        * cooperative (DCN×ICI hybrid mesh spanning processes — dp across
+          hosts, tp within): all processes run EVERY candidate's SPMD
+          program together (the batch axis is what's sharded), and only
+          the coordinator writes artifacts."""
         import json
 
         from ..parallel import host_shard, is_coordinator
 
+        work = list(manager.load_population_schedules(generation))
+        cooperative = self._mesh_spans_processes()
+        if not cooperative:
+            work = host_shard(work)
+        write = is_coordinator() if cooperative else True
+
         results = {}
         t0 = time.perf_counter()
-        for idx, sched in host_shard(
-            list(manager.load_population_schedules(generation))
-        ):
+        for idx, sched in work:
             cand_dir = manager.score_dir(generation) / f"cand_{idx:03d}"
             score_file = cand_dir / "scores.json"
             if skip_existing and score_file.exists():
                 continue
             scores, _ = self.evaluate_candidate(sched)
-            cand_dir.mkdir(parents=True, exist_ok=True)
-            with score_file.open("w") as f:
-                json.dump(scores, f, indent=4)
+            if write:
+                cand_dir.mkdir(parents=True, exist_ok=True)
+                with score_file.open("w") as f:
+                    json.dump(scores, f, indent=4)
             results[idx] = scores
             if verbose:
                 dt = time.perf_counter() - t0

@@ -359,6 +359,11 @@ def _eval_config(args) -> EvalConfig:
         scorer=args.scorer,
         batch_size=args.batch_size,
         mode=args.eval_mode,
+        # the search loop consumes scores only — never gather decoded
+        # images to the host (also a requirement for cooperative pod
+        # evaluation, where per-host gathers of dp-sharded images are
+        # not addressable; evaluate.py)
+        return_images=False,
     )
 
 

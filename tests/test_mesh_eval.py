@@ -79,6 +79,14 @@ def test_train_cli_mesh_flags_build_sharded_evaluator():
     )
     scores, images = ev.evaluate_candidate(sched)
     assert np.isfinite(scores["total_score"])
+    # the train CLI builds score-only evaluators (return_images=False —
+    # the search loop never gathers decoded images to the host, and
+    # cooperative pod evaluation requires it; genetic/train.py)
+    assert images is None
+
+    # the image path still works when asked for explicitly
+    ev.config.return_images = True
+    _, images = ev.evaluate_candidate(sched)
     assert images.shape[0] == 8
 
 
