@@ -200,7 +200,10 @@ class FluxPopulationDenoiser:
         self.pipeline = pipeline
         self._fn_cache: dict[tuple, Callable] = {}
 
-    def _build(self) -> Callable:
+    def _build(self, return_cache: bool = False) -> Callable:
+        """return_cache=True also returns the final carried cache pytree —
+        used by the full-width dryrun/evidence paths to assert the cache
+        shardings the scan actually maintained (a plain denoise drops it)."""
         p = self.pipeline
         import numpy as np
 
@@ -250,9 +253,11 @@ class FluxPopulationDenoiser:
                 ).astype(x.dtype)
                 return (new_x, cache), None
 
-            (x, _), _ = jax.lax.scan(
+            (x, final_cache), _ = jax.lax.scan(
                 body, (noise, cache), (masks, t_scan, dt_scan)
             )
+            if return_cache:
+                return x, final_cache
             return x
 
         return jax.jit(denoise)

@@ -80,7 +80,7 @@ def build_sharded_bf16_params(config, mesh):
     return model, params, n_params
 
 
-def stage_cpu() -> None:
+def _bootstrap_cpu8(stage_args: list[str]) -> None:
     """Bootstrap note: the axon platform plugin overrides the JAX_PLATFORMS
     env var, so (exactly like __graft_entry__.dryrun_multichip) the child
     must call jax.config.update('jax_platforms', 'cpu') in-process before
@@ -88,33 +88,44 @@ def stage_cpu() -> None:
     ECAD_FW_CHILD sentinel makes a failed bootstrap a hard error instead
     of a respawn loop. The parent NEVER imports jax: creating an axon
     client just to count devices would hold the exclusive TPU tunnel for
-    the whole CPU run."""
-    if not os.environ.get("ECAD_FW_CHILD"):
-        import re
-        import subprocess
+    the whole CPU run. Returns (no exit) when already in the child."""
+    if os.environ.get("ECAD_FW_CHILD"):
+        return
+    import re
+    import subprocess
 
-        env = dict(os.environ)
-        env["ECAD_FW_CHILD"] = "1"
-        env["JAX_PLATFORMS"] = "cpu"
-        flags = re.sub(
-            r"--xla_force_host_platform_device_count=\d+",
-            "",
-            env.get("XLA_FLAGS", ""),
-        )
-        env["XLA_FLAGS"] = (
-            f"{flags} --xla_force_host_platform_device_count=8".strip()
-        )
-        code = (
-            "import jax\n"
-            "jax.config.update('jax_platforms', 'cpu')\n"
-            "import runpy, sys\n"
-            f"sys.argv = [{os.path.abspath(__file__)!r}, 'cpu']\n"
-            f"runpy.run_path({os.path.abspath(__file__)!r}, "
-            "run_name='__main__')\n"
-        )
-        raise SystemExit(
-            subprocess.run([sys.executable, "-c", code], env=env).returncode
-        )
+    env = dict(os.environ)
+    env["ECAD_FW_CHILD"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "",
+        env.get("XLA_FLAGS", ""),
+    )
+    env["XLA_FLAGS"] = (
+        f"{flags} --xla_force_host_platform_device_count=8".strip()
+    )
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache_cpu"),
+    )
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+    argv = [os.path.abspath(__file__)] + stage_args
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import runpy, sys\n"
+        f"sys.argv = {argv!r}\n"
+        f"runpy.run_path({os.path.abspath(__file__)!r}, "
+        "run_name='__main__')\n"
+    )
+    raise SystemExit(
+        subprocess.run([sys.executable, "-c", code], env=env).returncode
+    )
+
+
+def stage_cpu() -> None:
+    _bootstrap_cpu8(["cpu"])
 
     import jax
 
@@ -312,6 +323,215 @@ def stage_cpu() -> None:
     )
 
 
+def stage_cpu_1024(
+    cache_dtype: str | None = None,
+    budget_gib: float = 112.0,
+    compile_only: bool = False,
+    dp: int = 2,
+    tp: int = 4,
+) -> None:
+    """Execute the dynamic-mode FLUX 1024² program FULL-depth/FULL-width at
+    dp=2 × tp=4 on the virtual 8-device CPU mesh (VERDICT r3 item 5): the
+    exact program the HBM table defends (docs/flux_hbm_accounting.md) and
+    the AOT v5e-8 lowering measures (15.017/16 GiB per chip) — here run
+    for real: 2-step lax.scan (step 0 all-compute populates every dense
+    cache, step 1 all-REUSE serves every component from cache), finiteness
+    asserted, cache shardings asserted (single_proj_mlp: P(dp, None, tp)).
+
+    cache_dtype="f8" stores the carried caches in float8_e4m3fn
+    (models/flux.py cache_dtype — the documented serving option that
+    halves cache bytes); None keeps the bf16 accounting-table config.
+    compile_only stops after memory_analysis (lets a first pass populate
+    the persistent compile cache / report fit without 100+ GiB resident).
+
+    Matches the capability at
+    /root/reference/ecad/transformer_2d_models/flux_transformer_2d_edited.py:92-98
+    (the 12B model executing a full schedule step), re-designed as a
+    sharded-mesh program instead of a single-48GB-GPU forward.
+    """
+    _bootstrap_cpu8(
+        ["cpu-1024", f"--mesh={dp}x{tp}"]
+        + ([f"--cache-dtype={cache_dtype}"] if cache_dtype else [])
+        + (["--compile-only"] if compile_only else [])
+    )
+
+    import resource
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ecad_tpu.models.flux import FluxConfig, FluxTransformer, full_flux_mask
+    from ecad_tpu.parallel import batch_sharding, create_mesh, param_shardings
+    from ecad_tpu.pipelines.flux_pipeline import (
+        FluxPipeline,
+        FluxPipelineConfig,
+        FluxPopulationDenoiser,
+    )
+
+    def rss():
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024**2
+
+    cdt = jnp.float8_e4m3fn if cache_dtype in ("f8", "float8_e4m3fn") else None
+    config = FluxConfig(cache_dtype=cdt)  # dim 3072, 19 + 38 blocks
+    steps, b = 2, max(dp, 2)  # >=1 img per dp shard; scan memory is length-invariant
+    pcfg = FluxPipelineConfig(
+        model=config, num_inference_steps=steps, height=1024, width=1024
+    )
+    pipe = FluxPipeline(pcfg, params=None)
+    fn = FluxPopulationDenoiser(pipe)._build(return_cache=True)
+
+    mesh = create_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+    bs = batch_sharding(mesh)
+    rsh = NamedSharding(mesh, P())
+    model = FluxTransformer(config)
+
+    def init_fn(key):
+        latents0 = jnp.zeros((1, 16, config.in_channels), config.dtype)
+        txt0 = jnp.zeros((1, config.text_len, config.joint_dim), config.dtype)
+        pooled0 = jnp.zeros((1, config.pooled_dim), config.dtype)
+        t0 = jnp.zeros((1,), jnp.float32)
+        g0 = jnp.ones((1,), jnp.float32)
+        return model.init(
+            key, latents0, txt0, pooled0, t0, g0, {},
+            full_flux_mask(config), (4, 4),
+        )["params"]
+
+    boxed = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    shardings = nn.meta.unbox(param_shardings(boxed, mesh))
+    abstract = jax.tree.map(
+        lambda sds, sh: jax.ShapeDtypeStruct(
+            sds.shape,
+            jnp.bfloat16 if sds.dtype == jnp.float32 else sds.dtype,
+            sharding=sh,
+        ),
+        nn.meta.unbox(boxed),
+        shardings,
+    )
+    n_slots = config.num_blocks + config.num_single_blocks
+    masks_aval = jax.ShapeDtypeStruct((steps, n_slots, 3), jnp.bool_,
+                                      sharding=rsh)
+    noise_aval = jax.ShapeDtypeStruct(
+        (b, pcfg.image_seq_len, config.in_channels), config.dtype, sharding=bs
+    )
+    txt_aval = jax.ShapeDtypeStruct(
+        (b, config.text_len, config.joint_dim), config.dtype, sharding=bs
+    )
+    pooled_aval = jax.ShapeDtypeStruct(
+        (b, config.pooled_dim), config.dtype, sharding=bs
+    )
+
+    with mesh:
+        print(f"lowering 1024² full-depth (rss {rss():.1f} GiB)...",
+              flush=True)
+        t0 = time.perf_counter()
+        compiled = fn.lower(
+            abstract, masks_aval, noise_aval, txt_aval, pooled_aval
+        ).compile()
+        print(f"compiled in {time.perf_counter() - t0:.0f}s", flush=True)
+    ma = compiled.memory_analysis()
+    per_dev = (
+        ma.argument_size_in_bytes
+        + ma.temp_size_in_bytes
+        + ma.output_size_in_bytes
+    ) / GIB
+    detail = {
+        "mesh": f"dp={dp} x tp={tp} ({dp * tp} virtual CPU devices on one "
+        "host)",
+        "program": "dynamic-mode 1024² denoise, 2-step scan: step 0 "
+        "all-compute, step 1 all-cache-reuse; full depth 19+38 blocks, "
+        "full width dim 3072",
+        "cache_dtype": str(cdt) if cdt is not None else "bfloat16",
+        "argument_GiB_per_device": round(ma.argument_size_in_bytes / GIB, 2),
+        "temp_GiB_per_device": round(ma.temp_size_in_bytes / GIB, 2),
+        "output_GiB_per_device": round(ma.output_size_in_bytes / GIB, 2),
+    }
+    detail["host_total_GiB"] = round(per_dev * dp * tp, 1)
+    print(json.dumps({"memory_analysis": detail}), flush=True)
+    if compile_only:
+        return
+    if per_dev * dp * tp > budget_gib:
+        print(json.dumps({
+            "metric": "flux_full_width_1024_cpu_mesh_step",
+            "value": 0,
+            "unit": "denoise_steps",
+            "detail": {**detail, "executed": False,
+                       "reason": f"host budget {budget_gib} GiB"},
+        }), flush=True)
+        raise SystemExit(3)
+
+    import gc
+
+    del boxed
+    gc.collect()
+    _, params, n_params = build_sharded_bf16_params(config, mesh)
+    print(
+        f"params: {n_params/1e9:.3f}B ({n_params*2/GIB:.1f} GiB bf16), "
+        f"rss {rss():.1f} GiB",
+        flush=True,
+    )
+    assert n_params > 11.8e9, "full-width FLUX should be ~11.9B params"
+
+    masks_np = np.zeros((steps, n_slots, 3), bool)
+    masks_np[0] = True  # all-compute, populates every dense cache
+    masks = jax.device_put(jnp.asarray(masks_np), rsh)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    noise = jax.device_put(
+        jax.random.normal(
+            k1, (b, pcfg.image_seq_len, config.in_channels)
+        ).astype(config.dtype),
+        bs,
+    )
+    txt = jax.device_put(
+        jax.random.normal(k2, (b, config.text_len, config.joint_dim)).astype(
+            config.dtype
+        ),
+        bs,
+    )
+    pooled = jax.device_put(
+        jax.random.normal(k3, (b, config.pooled_dim)).astype(config.dtype), bs
+    )
+    with mesh:
+        t0 = time.perf_counter()
+        x, cache = compiled(params, masks, noise, txt, pooled)
+        (x, cache) = jax.block_until_ready((x, cache))
+        dt = time.perf_counter() - t0
+    print(f"executed 2 steps in {dt:.0f}s (rss {rss():.1f} GiB)", flush=True)
+
+    assert np.isfinite(np.asarray(x, dtype=np.float32)).all(), "non-finite!"
+    pm = cache["single_proj_mlp_0"]
+    assert pm.shape == (
+        b, config.text_len + pcfg.image_seq_len, config.dim * 4
+    ), pm.shape
+    assert pm.sharding.spec == P("dp", None, "tp"), pm.sharding
+    assert pm.dtype == (cdt or config.dtype), pm.dtype
+    fa = cache["full_attn_0"][0]
+    assert fa.sharding.spec[0] == "dp", fa.sharding
+    result = {
+        "metric": "flux_full_width_1024_cpu_mesh_step",
+        "value": steps,
+        "unit": "denoise_steps",
+        "detail": {
+            **detail,
+            "executed": True,
+            "params_B": round(n_params / 1e9, 3),
+            "out_shape": list(x.shape),
+            "proj_mlp_cache_spec": str(pm.sharding.spec),
+            "proj_mlp_cache_dtype": str(pm.dtype),
+            "finite": True,
+            "exec_sec_2steps": round(dt, 1),
+        },
+    }
+    print(json.dumps(result), flush=True)
+    out = pathlib.Path(__file__).resolve().parents[1] / (
+        "FLUX1024_FULLDEPTH.json"
+    )
+    out.write_text(json.dumps(result, indent=1))
+
+
 def stage_aot(sp: int = 1) -> None:
     import jax
     import jax.numpy as jnp
@@ -439,6 +659,19 @@ def main(argv=None) -> None:
     stage = argv[0] if argv else "cpu"
     if stage == "cpu":
         stage_cpu()
+    elif stage == "cpu-1024":
+        cache_dtype = None
+        compile_only = False
+        dp, tp = 2, 4
+        for a in argv[1:]:
+            if a.startswith("--cache-dtype="):
+                cache_dtype = a.split("=", 1)[1]
+            elif a == "--compile-only":
+                compile_only = True
+            elif a.startswith("--mesh="):
+                dp, tp = (int(v) for v in a.split("=", 1)[1].split("x"))
+        stage_cpu_1024(cache_dtype=cache_dtype, compile_only=compile_only,
+                       dp=dp, tp=tp)
     elif stage == "aot":
         stage_aot()
     elif stage == "aot-sp":
