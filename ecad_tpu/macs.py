@@ -308,6 +308,111 @@ def compute_schedule_metrics(
     }
 
 
+def _sdpa_macs_per_sample(schedule: CacheSchedule) -> Mapping[str, int]:
+    """Per-sample MACs of the SDPA matmuls (q·kᵀ and p·v) per component.
+
+    These are deliberately EXCLUDED from the schedule metrics above —
+    the NSGA-II objective matches the reference's calflops numbers, and
+    calflops' module hooks never see torch SDPA (compute_macs.py:279-286)
+    — but they are real MXU work, so MFU/pct-of-peak reporting must count
+    them. A cached attention component skips its SDPA too, so these follow
+    the same schedule mask."""
+    cfg = schedule.top_level_config or {}
+    h = cfg.get("height", 256)
+    w = cfg.get("width", 256)
+    if isinstance(schedule, FluxCacheSchedule):
+        d = 3072
+        T_img = (h // 8 // 2) * (w // 8 // 2)
+        S = T_img + 512
+        return {"full_attn": 2 * S * S * d, "single_attn": 2 * S * S * d}
+    if isinstance(schedule, PixArtCacheSchedule):
+        d = 1152
+        weights = cfg.get("transformer_weights", "")
+        if "1024" in weights or h >= 1024:
+            h = w = 1024
+        T = (h // 8 // 2) * (w // 8 // 2)
+        L = 120
+        return {"attn1": 2 * T * T * d, "attn2": 2 * T * L * d}
+    raise TypeError(f"no SDPA table for {type(schedule).__name__}")
+
+
+def hardware_flops_per_image(
+    schedule: CacheSchedule, table: CostTable | None = None
+) -> int:
+    """Total device FLOPs to denoise ONE image under `schedule`: the
+    calflops-parity total_flops PLUS the SDPA matmul FLOPs the reference's
+    profiler never counts (module hooks don't see torch SDPA). CFG batch
+    and the TGATE half-batch rule follow compute_schedule_metrics. This is
+    the numerator for the bench ladder's tflops_per_sec / pct_peak rows
+    (VAE decode accounted separately via vae_decoder_flops)."""
+    if table is None:
+        table = table_for_schedule(schedule)
+    base = compute_schedule_metrics(schedule, table)["total_flops"]
+    sdpa = _sdpa_macs_per_sample(schedule)
+    slot_sdpa_b1 = np.array(
+        [sdpa.get(c, 0) for _, c in schedule.slot_names()], dtype=np.int64
+    )
+    mask = schedule.mask.copy()
+    mask[0, :] = True
+    gate = _gate_step(schedule)
+    sdpa_macs = 0
+    for step in range(schedule.num_inference_steps):
+        b = table.batch
+        if gate is not None and step >= gate:
+            b = table.batch // 2
+        sdpa_macs += int(mask[step] @ slot_sdpa_b1) * b
+    return base + 2 * sdpa_macs
+
+
+def vae_decoder_flops(
+    height: int = 256, width: int = 256, config=None
+) -> int:
+    """Analytic FLOPs (2×MACs) of one VAEDecoder forward at the given
+    output resolution, replaying models/vae.py:VAEDecoder structurally
+    (post_quant 1×1 → conv_in → mid resnet/attn/resnet → 4 up blocks of
+    layers_per_block+1 resnets with ×2 upsampling → conv_out). Included in
+    the ladder's MFU numerator because the timed protocol includes the
+    decode."""
+    from .models.vae import VAEConfig
+
+    c = config or VAEConfig()
+    h, w = height // 8, width // 8
+    lc = c.latent_channels
+    rev = tuple(reversed(c.block_out_channels))
+
+    macs = h * w * lc * lc  # post_quant_conv 1x1
+    ch = rev[0]
+    macs += h * w * 9 * lc * ch  # conv_in 3x3
+
+    def resnet(h, w, cin, cout):
+        m = h * w * 9 * cin * cout + h * w * 9 * cout * cout
+        if cin != cout:
+            m += h * w * cin * cout  # 1x1 shortcut
+        return m
+
+    # mid: resnet, single-head spatial attention, resnet
+    macs += resnet(h, w, ch, ch)
+    n = h * w
+    macs += 4 * n * ch * ch + 2 * n * n * ch  # q/k/v/out denses + SDPA
+    macs += resnet(h, w, ch, ch)
+
+    cin = ch
+    for bi, cout in enumerate(rev):
+        for _ in range(c.layers_per_block + 1):
+            macs += resnet(h, w, cin, cout)
+            cin = cout
+        if bi < len(rev) - 1:
+            h, w = h * 2, w * 2
+            macs += h * w * 9 * cout * cout  # post-upsample 3x3 conv
+    macs += h * w * 9 * cin * c.out_channels  # conv_out
+    return 2 * macs
+
+
+# v5e MXU peak (per chip): ~197 TFLOP/s bf16, ~394 TOP/s int8.
+V5E_PEAK_BF16 = 197e12
+V5E_PEAK_INT8 = 394e12
+
+
 def attach_metrics(schedule: CacheSchedule, table: CostTable | None = None) -> dict:
     """Write metrics into the schedule (merging with any existing metrics,
     as the reference writes into the schedule JSON in place)."""

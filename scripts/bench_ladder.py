@@ -36,9 +36,13 @@ TGATE = (  # best-latency 256 entry of the vendored gen_tgate family
     / "tgate_m_010_sp_005_fi_001_warmup_002.json"
 )
 TGATE_REF_SPEEDUP = REF_UNCACHED / 108.518484375
+PEAK = 197e12  # v5e per-chip MXU peak, bf16 (macs.V5E_PEAK_BF16)
 
 
-def emit(metric, t, t_uncached, ref_speedup=None, **extra) -> None:
+def emit(
+    metric, t, t_uncached, ref_speedup=None, flops_per_image=None,
+    peak=None, **extra,
+) -> None:
     speedup = t_uncached / t
     row = {
         "metric": metric,
@@ -54,6 +58,16 @@ def emit(metric, t, t_uncached, ref_speedup=None, **extra) -> None:
             **extra,
         },
     }
+    if flops_per_image is not None:
+        # MFU accounting: schedule-dependent transformer FLOPs (SDPA
+        # matmuls INCLUDED — macs.hardware_flops_per_image; the NSGA-II
+        # MACs objective excludes them for calflops parity) + the VAE
+        # decode the timed protocol includes. pct_peak against the chip's
+        # MXU peak for the serving dtype.
+        tps = flops_per_image * bench.BATCH / t
+        row["detail"]["tflops_per_sec"] = round(tps / 1e12, 1)
+        row["detail"]["pct_peak"] = round(100.0 * tps / (peak or PEAK), 1)
+        row["detail"]["flops_per_image_T"] = round(flops_per_image / 1e12, 3)
     if ref_speedup is not None:
         row["vs_baseline"] = round(speedup / ref_speedup, 4)
     print(json.dumps(row), flush=True)
@@ -62,6 +76,7 @@ def emit(metric, t, t_uncached, ref_speedup=None, **extra) -> None:
 def main() -> None:
     import jax
 
+    from ecad_tpu.macs import hardware_flops_per_image, vae_decoder_flops
     from ecad_tpu.models import PixArtConfig, init_params
     from ecad_tpu.models.vae import random_decoder_pipeline
     from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
@@ -72,6 +87,8 @@ def main() -> None:
     from ecad_tpu.schedules import PixArtCacheSchedule
 
     from ecad_tpu.models.common import serving_cast
+
+    vae_fl = vae_decoder_flops(256, 256)
 
     config = PixArtConfig()
     _, params = init_params(config, 0)
@@ -92,6 +109,16 @@ def main() -> None:
 
     uncached = PixArtPipeline(pcfg, params, PixArtCacheSchedule.default())
     t_uncached = bench.time_pipeline(uncached, params, text, neg, noise, vae)
+    emit(
+        "pixart_alpha_256_uncached_mfu",
+        t_uncached,
+        t_uncached,
+        None,
+        flops_per_image=hardware_flops_per_image(
+            PixArtCacheSchedule.default()
+        ) + vae_fl,
+        device=str(jax.devices()[0]),
+    )
 
     for name, ref_speedup in LADDER.items():
         sched = PixArtCacheSchedule.from_json(SCHED_DIR / f"{name}.json")
@@ -102,6 +129,7 @@ def main() -> None:
             t,
             t_uncached,
             ref_speedup,
+            flops_per_image=hardware_flops_per_image(sched) + vae_fl,
             device=str(jax.devices()[0]),
         )
 
@@ -132,6 +160,7 @@ def main() -> None:
             t,
             t_uncached,
             ref_speedup,
+            flops_per_image=hardware_flops_per_image(sched) + vae_fl,
         )
 
     # TGATE heuristic baseline (reference gen_tgate family)
@@ -144,6 +173,7 @@ def main() -> None:
         t,
         t_uncached,
         TGATE_REF_SPEEDUP,
+        flops_per_image=hardware_flops_per_image(tg_sched) + vae_fl,
         gate_step=gate,
     )
 

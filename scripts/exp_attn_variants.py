@@ -285,6 +285,186 @@ def _call_transposed(q, k, v, bq, n_chunks=2):
     return out.reshape(b, h, d, tq_pad)[:, :, :, :tq].transpose(0, 3, 1, 2)
 
 
+def k_transposed_fd(q_ref, k_ref, vTa_ref, o_ref, *, chunks, d):
+    """Transposed-PV with the softmax DENOMINATOR FUSED into the PV matmul.
+
+    The shipping transposed kernel's VPU does three passes per score
+    element: clip, exp2, and a cross-sublane sum for the denominator. At
+    B8H16T4096D72 that is 2.1e9 score elements — the sum pass alone is
+    ~1/3 of the VPU time that overlaps (imperfectly) with the MXU. Here
+    Vᵀ is augmented with a row of ONES (then sublane-padded): the PV
+    matmul computes [O; denom] in one shot on the MXU, so the VPU does
+    only clip+exp2+cast. Cost: the PV output grows d→d_aug sublanes
+    (72→80, +11% of the SMALLER matmul) for the removal of a full VPU
+    reduction pass over every score element."""
+    q = q_ref[0]  # (d_pad, bq), pre-scaled
+    acc = None
+    for lo, hi in chunks:
+        s = jax.lax.dot_general(
+            k_ref[0, lo:hi], q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (chunk, bq)
+        p = jnp.exp2(jnp.clip(s, _CLAMP_LO, _CLAMP_HI))
+        pv = jax.lax.dot_general(
+            vTa_ref[0, :, lo:hi], p.astype(vTa_ref.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d_aug, bq): rows [:d] = O numerator, row d = denominator
+        acc = pv if acc is None else acc + pv
+    o_ref[0] = (acc[:d] / acc[d : d + 1]).astype(o_ref.dtype)
+
+
+def k_transposed_subk(q_ref, kT_ref, vT_ref, o_ref, *, chunks, d8):
+    """Transposed-PV with the QK contraction over SUBLANES of both
+    operands: Kᵀ stored (d8, tk) like Vᵀ, q stored (d8, bq), and
+    Sᵀ = dot(Kᵀ, q) contracting dim 0 of both. If Mosaic maps a
+    sublane-sublane contraction onto the MXU without relayout, the QK
+    half contracts 80 instead of 128 padded lanes (1.6× less). If the
+    systolic array's contraction depth is hardwired at 128 this measures
+    the same (or worse, from the transpose) — that is the experiment."""
+    q = q_ref[0]  # (d8, bq)
+    sums, pvs = [], []
+    for lo, hi in chunks:
+        s = jax.lax.dot_general(
+            kT_ref[0, :, lo:hi], q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (chunk, bq)
+        p = jnp.exp2(jnp.clip(s, _CLAMP_LO, _CLAMP_HI))
+        sums.append(jnp.sum(p, axis=0, keepdims=True))
+        pvs.append(
+            jax.lax.dot_general(
+                vT_ref[0, :, lo:hi], p.astype(vT_ref.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    denom = sums[0]
+    acc = pvs[0]
+    for sm, pv in zip(sums[1:], pvs[1:]):
+        denom = denom + sm
+        acc = acc + pv
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
+def k_transposed_subk_fd(q_ref, kT_ref, vTa_ref, o_ref, *, chunks, d):
+    """k_transposed_subk + fused denominator (the two optimizations
+    compose)."""
+    q = q_ref[0]
+    acc = None
+    for lo, hi in chunks:
+        s = jax.lax.dot_general(
+            kT_ref[0, :, lo:hi], q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = jnp.exp2(jnp.clip(s, _CLAMP_LO, _CLAMP_HI))
+        pv = jax.lax.dot_general(
+            vTa_ref[0, :, lo:hi], p.astype(vTa_ref.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = pv if acc is None else acc + pv
+    o_ref[0] = (acc[:d] / acc[d : d + 1]).astype(o_ref.dtype)
+
+
+def _call_transposed_v2(q, k, v, bq, variant, n_chunks=2):
+    """Wrapper for the fd/subk transposed variants.
+
+    Layouts: q → (bh, d_q, tq) where d_q is d_pad (128) for lane-
+    contracted QK or d8 (16-sublane-rounded) for subk; K standard
+    (bh, tk_pad, d_pad) or transposed (bh, d8, tk_pad) for subk;
+    Vᵀ (bh, d, tk_pad), augmented with a ones row then 16-rounded for
+    the fused-denominator variants."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    d_pad = _round_up(d, 128)
+    d8 = _round_up(d, 16)  # bf16 sublane tile
+    tq_pad = _round_up(tq, bq)
+    tk_pad = _round_up(tk, 128)
+    subk = "subk" in variant
+    fd = variant.endswith("fd")
+    d_q = d8 if subk else d_pad
+
+    def pad(x, t_pad, dp):
+        t = x.shape[1]
+        return jnp.pad(
+            x, ((0, 0), (0, t_pad - t), (0, 0), (0, dp - x.shape[-1]))
+        )
+
+    scale = _LOG2E / np.sqrt(d)
+    qT = (
+        pad(q, tq_pad, d_q).transpose(0, 2, 3, 1).reshape(b * h, d_q, tq_pad)
+        * jnp.asarray(scale, q.dtype)
+    )
+    if subk:
+        kx = pad(k, tk_pad, d8).transpose(0, 2, 3, 1).reshape(
+            b * h, d8, tk_pad
+        )
+        k_spec = pl.BlockSpec(
+            (1, d8, tk_pad), lambda i, qi: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        kx = pad(k, tk_pad, d_pad).transpose(0, 2, 1, 3).reshape(
+            b * h, tk_pad, d_pad
+        )
+        k_spec = pl.BlockSpec(
+            (1, tk_pad, d_pad), lambda i, qi: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    if fd:
+        d_aug = _round_up(d + 1, 16)  # 72 → 80: ones row at index d
+        vT = pad(v, tk_pad, d).transpose(0, 2, 3, 1).reshape(b * h, d, tk_pad)
+        ones = jnp.zeros((b * h, d_aug - d, tk_pad), vT.dtype).at[:, 0].set(
+            jnp.where(jnp.arange(tk_pad) < tk, 1.0, 0.0).astype(vT.dtype)
+        )
+        vT = jnp.concatenate([vT, ones], axis=1)
+        d_v = d_aug
+    else:
+        vT = pad(v, tk_pad, d).transpose(0, 2, 3, 1).reshape(b * h, d, tk_pad)
+        d_v = d
+
+    chunk = _round_up(tk_pad // n_chunks, 128)
+    chunks = []
+    lo = 0
+    while lo < tk_pad:
+        chunks.append((lo, min(lo + chunk, tk_pad)))
+        lo += chunk
+
+    kern = {
+        "transposed_fd": functools.partial(k_transposed_fd, chunks=chunks, d=d),
+        "transposed_subk": functools.partial(
+            k_transposed_subk, chunks=chunks, d8=d8
+        ),
+        "transposed_subk_fd": functools.partial(
+            k_transposed_subk_fd, chunks=chunks, d=d
+        ),
+    }[variant]
+    grid = (b * h, tq_pad // bq)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, d_q, bq), lambda i, qi: (i, 0, qi),
+                memory_space=pltpu.VMEM,
+            ),
+            k_spec,
+            pl.BlockSpec(
+                (1, d_v, tk_pad), lambda i, qi: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=jax.ShapeDtypeStruct((b * h, d, tq_pad), q.dtype),
+        out_specs=pl.BlockSpec(
+            (1, d, bq), lambda i, qi: (i, 0, qi), memory_space=pltpu.VMEM
+        ),
+        interpret=bool(os.environ.get("ECAD_EXP_INTERPRET")),
+    )(qT, kx, vT)
+    return out.reshape(b, h, d, tq_pad)[:, :, :, :tq].transpose(0, 3, 1, 2)
+
+
+TRANSPOSED_V2 = ("transposed_fd", "transposed_subk", "transposed_subk_fd")
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only = [a.split("=")[1] for a in sys.argv[1:] if a.startswith("--shape=")]
@@ -308,6 +488,35 @@ def main() -> None:
         bench.sync(ref)
         for bq in bqs:
             if s["d"] % 128:  # transposed-PV only pays off for padded D
+                for variant in TRANSPOSED_V2:
+                    fn2 = jax.jit(
+                        functools.partial(
+                            lambda q, k, v, bq=bq, variant=variant:
+                            _call_transposed_v2(q, k, v, bq, variant)
+                        )
+                    )
+                    out2 = fn2(q, k, v)
+                    e2 = float(
+                        jnp.abs(
+                            out2[:, :, :2].astype(jnp.float32)
+                            - ref.astype(jnp.float32)
+                        ).max()
+                    )
+                    ms2 = bench.time_fn(
+                        lambda: fn2(q, k, v), sync_out=bench.sync,
+                        warmup=2, samples=8,
+                    )
+                    print(
+                        json.dumps(
+                            {
+                                "metric": f"exp_{name}_{variant}_bq{bq}",
+                                "value": round(ms2 * 1e3, 3),
+                                "unit": "ms",
+                                "detail": {"max_abs_err_vs_xla_bf16": e2},
+                            }
+                        ),
+                        flush=True,
+                    )
                 fnT = jax.jit(
                     functools.partial(lambda q, k, v, bq=bq: _call_transposed(
                         q, k, v, bq

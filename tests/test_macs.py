@@ -187,3 +187,55 @@ def test_compute_macs_cli_handles_dit(tmp_path):
     assert data["metrics"]["total_macs_T"] == pytest.approx(
         5.713796136960, abs=1e-9
     )
+
+
+def test_hardware_flops_exceed_metrics_flops():
+    """hardware_flops_per_image = calflops-parity total_flops + the SDPA
+    matmul FLOPs the reference profiler never counts (module hooks don't
+    see torch SDPA, /root/reference/ecad/benchmark/compute_macs.py:279-286).
+    The SDPA share follows the schedule mask (cached attn skips its SDPA)
+    and the TGATE gate halves the batch."""
+    from ecad_tpu.macs import (
+        compute_schedule_metrics,
+        hardware_flops_per_image,
+    )
+    from ecad_tpu.schedules import PixArtCacheSchedule
+
+    default = PixArtCacheSchedule.default()
+    base = compute_schedule_metrics(default)["total_flops"]
+    hw = hardware_flops_per_image(default)
+    # analytic SDPA for the uncached 256² schedule: per step, batch 2,
+    # 28 blocks × (attn1 2·T²·d + attn2 2·T·L·d), T=256, L=120, d=1152
+    sdpa = 20 * 2 * 28 * (2 * 256 * 256 * 1152 + 2 * 256 * 120 * 1152)
+    assert hw == base + 2 * sdpa
+
+    # caching attn components removes their SDPA from the hardware count
+    import numpy as np
+
+    mask = np.ones((20, 28, 3), dtype=bool)
+    mask[5:, :, :2] = False  # cache attn1+attn2 after step 5
+    cached = PixArtCacheSchedule.from_numpy(
+        mask.reshape(-1), 20, 28, name="attn_cached"
+    )
+    hw_cached = hardware_flops_per_image(cached)
+    assert hw_cached < hw
+    expected_sdpa = 5 * 2 * 28 * (
+        2 * 256 * 256 * 1152 + 2 * 256 * 120 * 1152
+    )
+    base_cached = compute_schedule_metrics(cached)["total_flops"]
+    assert hw_cached == base_cached + 2 * expected_sdpa
+
+
+def test_vae_decoder_flops_structure():
+    """vae_decoder_flops replays models/vae.py:VAEDecoder; pin the 256²
+    value and the ~16x spatial scaling to 1024² (convs scale with output
+    area; the 32×32 mid attention is resolution-invariant only for the
+    latent grid it runs on)."""
+    from ecad_tpu.macs import vae_decoder_flops
+
+    f256 = vae_decoder_flops(256, 256)
+    f1024 = vae_decoder_flops(1024, 1024)
+    assert 0.5e12 < f256 < 0.8e12  # SD-VAE decoder scale at 256²
+    # all convs scale ×16 with area; the mid attention (quadratic in the
+    # latent grid) grows faster — ratio lands a bit above 16
+    assert 16.0 < f1024 / f256 < 18.0
