@@ -556,12 +556,13 @@ class Attention(nn.Module):
     use_bias: bool = True
     out_bias: bool = True
     quant: Optional[str] = None  # None | "int8" (ops/quant.py serving mode)
+    # quant="int8_static" calibration table: tuple of (module-path, amax)
+    # pairs (tuple keeps configs hashable; ops/quant.py calibrate_dense_amax)
+    act_scales: Optional[tuple] = None
 
     def setup(self) -> None:
         inner = self.heads * self.head_dim
         from ..ops.quant import Int8Dense, maybe_quant_dot_general
-
-        dg = maybe_quant_dot_general(self.quant)
 
         def dense(name, features, in_axis, out_axis, use_bias):
             if self.quant == "int8_w":
@@ -572,6 +573,9 @@ class Attention(nn.Module):
                     dtype=self.dtype,
                     name=name,
                 )
+            dg = maybe_quant_dot_general(
+                self.quant, "/".join(self.path + (name,)), self.act_scales
+            )
             return nn.Dense(
                 features,
                 use_bias=use_bias,
@@ -625,12 +629,18 @@ class FeedForward(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     gated: bool = False
     quant: Optional[str] = None  # None | "int8" (ops/quant.py serving mode)
+    # quant="int8_static" calibration table (see Attention.act_scales)
+    act_scales: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..ops.quant import Int8Dense, maybe_quant_dot_general
 
-        dg = maybe_quant_dot_general(self.quant)
+        def dg(name):
+            return maybe_quant_dot_general(
+                self.quant, "/".join(self.path + (name,)), self.act_scales
+            )
+
         inner = self.dim * self.mult
         if self.quant == "int8_w":
             proj_in = Int8Dense(
@@ -646,7 +656,7 @@ class FeedForward(nn.Module):
             proj_in = nn.Dense(
                 inner * (2 if self.gated else 1),
                 dtype=self.dtype,
-                dot_general=dg,
+                dot_general=dg("proj_in"),
                 kernel_init=with_part(
                     nn.initializers.normal(0.02), (EMBED, MLP)
                 ),
@@ -656,7 +666,7 @@ class FeedForward(nn.Module):
             proj_out = nn.Dense(
                 self.dim,
                 dtype=self.dtype,
-                dot_general=dg,
+                dot_general=dg("proj_out"),
                 kernel_init=with_part(
                     nn.initializers.normal(0.02), (MLP, EMBED)
                 ),

@@ -64,13 +64,20 @@ class PixArtConfig:
     ff_mult: int = 4
     use_additional_conditions: bool = False
     dtype: Any = jnp.bfloat16
-    # None | "int8" | "int8_w" (ops/quant.py): "int8" routes the block
-    # projections (qkv/out, cross-attn, MLP) through the W8A8
-    # dynamic-quant int8 MXU path with bf16 weights in HBM; "int8_w"
+    # None | "int8" | "int8_static" | "int8_w" (ops/quant.py): "int8"
+    # routes the block projections (qkv/out, cross-attn, MLP) through the
+    # W8A8 dynamic-quant int8 MXU path with bf16 weights in HBM;
+    # "int8_static" replaces the per-token activation scales with
+    # calibrated per-site constants from `act_scales` (removes the
+    # max-abs VPU/HBM pass — the 1024² regime's quant overhead); "int8_w"
     # additionally STORES those kernels as int8 (+ per-channel scale),
     # halving their HBM residency and read traffic. Embedders, adaLN,
-    # norms, softmax, and proj_out stay bf16/fp32 in both modes.
+    # norms, softmax, and proj_out stay bf16/fp32 in all modes.
     quant: Optional[str] = None
+    # calibration table for quant="int8_static": tuple of
+    # ("block_3/attn1/to_q", amax) pairs from ops/quant.py
+    # calibrate_dense_amax (tuple keeps the config hashable)
+    act_scales: Optional[tuple] = None
 
     @property
     def tokens(self) -> int:
@@ -193,12 +200,17 @@ class PixArtBlock(nn.Module):
             jnp.float32,
         )
         self.attn1 = Attention(
-            c.dim, c.num_heads, c.head_dim, dtype=c.dtype, quant=c.quant
+            c.dim, c.num_heads, c.head_dim, dtype=c.dtype, quant=c.quant,
+            act_scales=c.act_scales,
         )
         self.attn2 = Attention(
-            c.dim, c.num_heads, c.head_dim, dtype=c.dtype, quant=c.quant
+            c.dim, c.num_heads, c.head_dim, dtype=c.dtype, quant=c.quant,
+            act_scales=c.act_scales,
         )
-        self.ff = FeedForward(c.dim, c.ff_mult, dtype=c.dtype, quant=c.quant)
+        self.ff = FeedForward(
+            c.dim, c.ff_mult, dtype=c.dtype, quant=c.quant,
+            act_scales=c.act_scales,
+        )
 
     def cross_kv(self, enc: jax.Array) -> tuple[jax.Array, jax.Array]:
         return self.attn2.kv(enc)

@@ -107,18 +107,154 @@ def int8_dot_general(
     return (acc.astype(jnp.float32) * sl_b * sr_b).astype(out_dtype)
 
 
-def maybe_quant_dot_general(quant: Optional[str]):
+def static_int8_dot_general(amax: float):
+    """`int8_dot_general` with a STATIC per-tensor activation scale.
+
+    `amax` is a calibrated trace-time CONSTANT (max-abs of this site's
+    activations over a few denoise steps), so the per-token max-abs
+    reduction disappears from the program. That reduction is what makes
+    dynamic quantization expensive in the bandwidth-bound 1024² regime:
+    it forces the producer's bf16 activation to materialize in HBM and be
+    read back, where the static path lets XLA fuse round/clip/cast into
+    the producer epilogue and write int8 directly (half the bytes of the
+    bf16 it replaces). Out-of-calibration activations saturate at ±127 —
+    the standard static-quantization contract (calibrate on
+    representative steps; see calibrate_dense_amax).
+
+    Weights keep per-output-channel dynamic scales (CSE'd by XLA across
+    the unrolled steps, same as int8_dot_general)."""
+    inv_scale = 127.0 / max(float(amax), _EPS)
+    scale = 1.0 / inv_scale
+
+    def dg(
+        lhs: jax.Array,
+        rhs: jax.Array,
+        dimension_numbers: Any,
+        precision: Any = None,
+        preferred_element_type: Optional[Any] = None,
+    ) -> jax.Array:
+        (lc, rc), (lb, rb) = dimension_numbers
+        if (
+            lb
+            or rb
+            or len(lc) != 1
+            or len(rc) != 1
+            or lc[0] != lhs.ndim - 1
+            or rc[0] != 0
+        ):
+            return lax.dot_general(
+                lhs,
+                rhs,
+                dimension_numbers,
+                precision=precision,
+                preferred_element_type=preferred_element_type,
+            )
+        out_dtype = preferred_element_type or jnp.promote_types(
+            lhs.dtype, rhs.dtype
+        )
+        ql = jnp.clip(
+            jnp.round(lhs.astype(jnp.float32) * inv_scale), -127.0, 127.0
+        ).astype(jnp.int8)
+        qr, sr = quantize_int8(rhs, axis=0)
+        acc = lax.dot_general(
+            ql, qr, dimension_numbers, preferred_element_type=jnp.int32
+        )
+        sr_b = sr.reshape((1,) * (lhs.ndim - 1) + sr.shape[1:])
+        return (acc.astype(jnp.float32) * scale * sr_b).astype(out_dtype)
+
+    return dg
+
+
+def maybe_quant_dot_general(
+    quant: Optional[str],
+    site_key: Optional[str] = None,
+    act_scales: Optional[Any] = None,
+):
     """The `dot_general` override for a quant mode name: None (exact
     default) for bf16 serving, `int8_dot_general` for "int8". "int8_w"
     (weight-STORAGE quantization) is handled structurally — the model
-    swaps `nn.Dense` for `Int8Dense` — so it maps to None here."""
+    swaps `nn.Dense` for `Int8Dense` — so it maps to None here.
+
+    "int8_static": per-site static activation scales. `act_scales` is a
+    mapping (or tuple of pairs — configs keep it hashable) from module
+    path (e.g. "block_3/attn1/to_q") to calibrated max-abs; `site_key` is
+    this Dense's path. A site missing from the calibration table falls
+    back to the dynamic per-token path — safe, just slower."""
     if quant is None or quant in ("none", "int8_w"):
         return None
     if quant == "int8":
         return int8_dot_general
+    if quant == "int8_static":
+        table = dict(act_scales) if act_scales is not None else {}
+        amax = table.get(site_key)
+        if amax is None:
+            return int8_dot_general
+        return static_int8_dot_general(amax)
     raise ValueError(
-        f"unknown quant mode {quant!r} (expected None|'int8'|'int8_w')"
+        f"unknown quant mode {quant!r} "
+        "(expected None|'int8'|'int8_static'|'int8_w')"
     )
+
+
+def calibrate_dense_amax(model, variables, *args, **kwargs) -> dict:
+    """Record every nn.Dense input's max-abs during one `model.apply`,
+    keyed by module path ("block_3/attn1/to_q") — the calibration table
+    for quant="int8_static".
+
+    Jit-safe: the interceptor records via `sow` into a mutable
+    "quant_stats" collection (a plain python-dict side channel would leak
+    tracers out of flax's lifted inner scopes), so one jitted forward per
+    calibration timestep suffices — cheap even through the remote-TPU
+    tunnel."""
+    import flax.linen as nn_
+
+    def interceptor(next_fn, iargs, ikwargs, context):
+        if context.method_name == "__call__" and isinstance(
+            context.module, nn_.Dense
+        ):
+            a = jnp.max(jnp.abs(iargs[0].astype(jnp.float32)))
+            context.module.sow(
+                "quant_stats", "amax", a,
+                reduce_fn=jnp.maximum,
+                init_fn=lambda: jnp.array(0.0, jnp.float32),
+            )
+        return next_fn(*iargs, **ikwargs)
+
+    # close over *args instead of passing them through jit: static
+    # schedule masks (tuples of python bools) must STAY static — as jit
+    # arguments they'd become tracers and flip the blocks into their
+    # lax.cond path, where the interceptor's sow escapes the cond's inner
+    # trace (UnexpectedTracerError).
+    def run(variables):
+        with nn_.intercept_methods(interceptor):
+            _, muts = model.apply(
+                variables, *args, mutable=["quant_stats"], **kwargs
+            )
+        return muts["quant_stats"]
+
+    tree = jax.jit(run)(variables)
+
+    flat: dict[str, float] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "amax":
+                    flat["/".join(path)] = float(jnp.asarray(v).max())
+                else:
+                    walk(v, path + (k,))
+
+    walk(jax.tree.map(lambda x: x, tree), ())
+    return flat
+
+
+def merge_amax(*tables: dict) -> dict:
+    """Fold per-timestep calibration tables with elementwise max."""
+    merged: dict = {}
+    for t in tables:
+        for k, v in t.items():
+            merged[k] = max(merged.get(k, 0.0), float(v))
+    return merged
 
 
 # ---------------------------------------------------------------------------

@@ -31,6 +31,7 @@ SAMPLES = 3
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from ecad_tpu.models import PixArtConfig, init_params
@@ -52,6 +53,55 @@ def main() -> None:
         k3, (BATCH, base.sample_size, base.sample_size, base.in_channels)
     ).astype(base.dtype)
 
+    # calibrate static per-site activation scales on the bf16 model at
+    # three representative timesteps (ops/quant.py: the static path drops
+    # the per-token max-abs pass — the dominant quant overhead at 4096
+    # tokens — letting XLA fuse int8 quantization into producer epilogues)
+    from ecad_tpu.models.pixart import (
+        PixArtTransformer,
+        full_step_mask,
+        init_cache,
+    )
+    from ecad_tpu.ops.quant import calibrate_dense_amax, merge_amax
+
+    calib_model = PixArtTransformer(base)
+    calib_cache = init_cache(base, 2)
+    calib_mask = full_step_mask(base)
+    res = jnp.broadcast_to(jnp.array([[1024.0, 1024.0]]), (2, 2))
+    ar = jnp.ones((2, 1))
+    import time as _time
+
+    t0 = _time.perf_counter()
+    act_table = merge_amax(
+        *(
+            calibrate_dense_amax(
+                calib_model,
+                {"params": params},
+                noise[:2],
+                text[:2],
+                jnp.full((2,), tv),
+                calib_cache,
+                calib_mask,
+                resolution=res,
+                aspect_ratio=ar,
+            )
+            for tv in (999.0, 500.0, 20.0)
+        )
+    )
+    act_scales = tuple(sorted(act_table.items()))
+    print(
+        json.dumps(
+            {
+                "calibration": {
+                    "sites": len(act_table),
+                    "timesteps": [999, 500, 20],
+                    "sec": round(_time.perf_counter() - t0, 1),
+                }
+            }
+        ),
+        flush=True,
+    )
+
     schedules = {
         "uncached": PixArtCacheSchedule.from_json(
             ROOT / "schedules/alpha_cache_schedules/gen_default_1024x1024"
@@ -66,11 +116,12 @@ def main() -> None:
     results = {}
     for sched_name, sched in schedules.items():
         per_mode = {}
-        for quant in (None, "int8"):
+        for quant in (None, "int8", "int8_static"):
             cfg = PixArtConfig(
                 sample_size=128,
                 use_additional_conditions=True,
                 quant=quant,
+                act_scales=act_scales if quant == "int8_static" else None,
             )
             pipe = PixArtPipeline(PixArtPipelineConfig(model=cfg), params, sched)
             fn = pipe.build_denoise_fn(donate=False)
@@ -88,27 +139,41 @@ def main() -> None:
                 "pixels": np.asarray(one()),
             }
 
-        bf16, int8 = per_mode["bf16"], per_mode["int8"]
-        lat_rel = float(
-            np.linalg.norm(int8["latents"] - bf16["latents"])
-            / max(np.linalg.norm(bf16["latents"]), 1e-9)
-        )
-        pix_mad = float(
-            np.mean(
-                np.abs(
-                    int8["pixels"].astype(np.float32)
-                    - bf16["pixels"].astype(np.float32)
+        bf16 = per_mode["bf16"]
+
+        def _deltas(mode):
+            lat_rel = float(
+                np.linalg.norm(mode["latents"] - bf16["latents"])
+                / max(np.linalg.norm(bf16["latents"]), 1e-9)
+            )
+            pix_mad = float(
+                np.mean(
+                    np.abs(
+                        mode["pixels"].astype(np.float32)
+                        - bf16["pixels"].astype(np.float32)
+                    )
                 )
             )
-        )
+            return lat_rel, pix_mad
+
+        int8 = per_mode["int8"]
+        static = per_mode["int8_static"]
+        lat_rel, pix_mad = _deltas(int8)
+        lat_rel_s, pix_mad_s = _deltas(static)
         results[sched_name] = {
             "bf16_ms_per_image": round(bf16["ms_per_image"], 2),
             "int8_ms_per_image": round(int8["ms_per_image"], 2),
+            "int8_static_ms_per_image": round(static["ms_per_image"], 2),
             "int8_speedup": round(
                 bf16["ms_per_image"] / int8["ms_per_image"], 4
             ),
+            "int8_static_speedup": round(
+                bf16["ms_per_image"] / static["ms_per_image"], 4
+            ),
             "final_latent_rel_err": round(lat_rel, 5),
             "pixel_mean_abs_diff_uint8": round(pix_mad, 3),
+            "static_final_latent_rel_err": round(lat_rel_s, 5),
+            "static_pixel_mean_abs_diff_uint8": round(pix_mad_s, 3),
         }
         print(json.dumps({sched_name: results[sched_name]}), flush=True)
 
@@ -116,7 +181,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "pixart_alpha_1024_int8_serving",
-                "value": results["uncached"]["int8_speedup"],
+                "value": results["uncached"]["int8_static_speedup"],
                 "unit": "x_vs_bf16",
                 "vs_baseline": round(
                     REF_MS["uncached"]

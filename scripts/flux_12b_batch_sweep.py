@@ -1,0 +1,142 @@
+"""Push the single-chip 12B FLUX.1-dev batch to the 16 GiB HBM limit.
+
+The reference's A6000 flux_256 rows amortize fixed costs over batch 18
+(BASELINE.md); our int8_w + float8-cache rows previously stopped at
+batch 4 (852 ms/img uncached). docs/flux_hbm_accounting.md predicts
+batch 6-8 fits. This sweep measures ms/img at increasing batch until the
+allocator refuses, reports the best as the `batch_max` row, and re-runs
+ours_fast at the winning batch (cached schedules ADD cache HBM, so the
+cached winner can be a smaller batch — measured, not assumed).
+
+Usage: python scripts/flux_12b_batch_sweep.py [batches...]  (default
+4 6 8 10 12)
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402  (repo-root: sync + compile-cache env)
+from flux_12b_single_chip import GIB, LADDER, SCHED_DIR, time_flux  # noqa: E402
+
+
+def _is_oom(e: Exception) -> bool:
+    s = str(e)
+    return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ecad_tpu.models.common import random_serving_params
+    from ecad_tpu.models.flux import FluxConfig, init_flux_params
+    from ecad_tpu.models.vae import random_decoder_pipeline
+    from ecad_tpu.pipelines.flux_pipeline import (
+        FluxPipeline,
+        FluxPipelineConfig,
+    )
+    from ecad_tpu.schedules import FluxCacheSchedule
+
+    batches = [int(a) for a in sys.argv[1:]] or [4, 6, 8, 10, 12]
+
+    config = FluxConfig(quant="int8_w", cache_dtype=jnp.float8_e4m3fn)
+    shape_tree = jax.eval_shape(lambda: init_flux_params(config, 0)[1])
+    params = random_serving_params(shape_tree)
+    weight_bytes = sum(
+        leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(params)
+    )
+    print(f"weights: {weight_bytes / GIB:.2f} GiB on device", flush=True)
+    pcfg = FluxPipelineConfig(model=config, height=256, width=256)
+    vae = random_decoder_pipeline(latent_channels=16)
+
+    def inputs(b):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        return (
+            jax.random.normal(
+                k1, (b, pcfg.image_seq_len, config.in_channels)
+            ).astype(config.dtype),
+            jax.random.normal(
+                k2, (b, config.text_len, config.joint_dim)
+            ).astype(config.dtype),
+            jax.random.normal(k3, (b, config.pooled_dim)).astype(
+                config.dtype
+            ),
+        )
+
+    def measure(name, b):
+        sched = (
+            None
+            if name == "uncached"
+            else FluxCacheSchedule.from_json(SCHED_DIR / f"{name}.json")
+        )
+        pipe = FluxPipeline(pcfg, params, sched)
+        noise, txt, pooled = inputs(b)
+        t = time_flux(pipe, params, noise, txt, pooled, vae)
+        return t / b * 1e3
+
+    sweep = {}
+    best_b, best_ms = None, float("inf")
+    for b in batches:
+        try:
+            ms = measure("uncached", b)
+        except Exception as e:  # noqa: BLE001 — OOM stops the sweep
+            if not _is_oom(e):
+                raise
+            sweep[str(b)] = "OOM"
+            print(json.dumps({"batch": b, "uncached": "OOM"}), flush=True)
+            break
+        sweep[str(b)] = round(ms, 2)
+        print(json.dumps({"batch": b, "uncached_ms_img": round(ms, 2)}),
+              flush=True)
+        if ms < best_ms:
+            best_b, best_ms = b, ms
+
+    cached = {}
+    for name in ("ours_fast", "ours_faster"):
+        b = best_b
+        while b >= 1:
+            try:
+                cached[name] = {
+                    "batch": b,
+                    "ms_per_image": round(measure(name, b), 2),
+                }
+                break
+            except Exception as e:  # noqa: BLE001
+                if not _is_oom(e):
+                    raise
+                b = max(1, b // 2)
+                if b == 1 and name in cached:
+                    break
+        print(json.dumps({name: cached.get(name)}), flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "flux_12b_single_chip_batch_max",
+                "value": round(best_ms, 2),
+                "unit": "ms_per_image_uncached",
+                "vs_baseline": round(LADDER["uncached"] / best_ms, 3),
+                "detail": {
+                    "best_batch": best_b,
+                    "sweep_uncached_ms_img": sweep,
+                    "cached_rows": cached,
+                    "a6000_uncached_ms_img_batch18": LADDER["uncached"],
+                    "quant": "int8_w weights + float8_e4m3fn caches",
+                    "protocol": "20-step denoise + VAE decode to uint8,"
+                    " 256², full-width 11.9B params",
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

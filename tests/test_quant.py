@@ -325,3 +325,65 @@ def test_random_serving_params_scale_classification():
     ns = np.asarray(p["norm"]["scale"], np.float32)
     assert (dq > 0).all() and dq.mean() < 0.01  # dequant family
     assert abs(ns.mean() - 1.0) < 0.1  # norm-affine family
+
+
+def test_int8_static_calibrated_close_to_bf16():
+    """quant="int8_static": per-site calibrated per-tensor activation
+    scales replace the dynamic per-token max-abs pass. Calibrating at two
+    timesteps then applying at a third must track the exact model as
+    closely as the dynamic path does (same int8 grid, scale source only),
+    and a site missing from the table must fall back to dynamic (safe)."""
+    from ecad_tpu.models import PixArtConfig, init_params
+    from ecad_tpu.models.pixart import (
+        PixArtTransformer,
+        full_step_mask,
+        init_cache,
+    )
+    from ecad_tpu.ops.quant import calibrate_dense_amax, merge_amax
+
+    cfg = PixArtConfig.tiny(dtype=jnp.float32)
+    model = PixArtTransformer(cfg)
+    _, params = init_params(cfg, 0)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1), 2)
+    lat = jax.random.normal(
+        k1, (2, cfg.sample_size, cfg.sample_size, cfg.in_channels)
+    )
+    txt = jax.random.normal(k2, (2, cfg.text_len, cfg.caption_dim))
+    mask = full_step_mask(cfg)
+    cache = init_cache(cfg, 2)
+
+    table = merge_amax(
+        *(
+            calibrate_dense_amax(
+                model, {"params": params}, lat, txt,
+                jnp.full((2,), tv), cache, mask,
+            )
+            for tv in (999.0, 10.0)
+        )
+    )
+    assert "block_0/attn1/to_q" in table and "block_1/ff/proj_in" in table
+
+    t = jnp.full((2,), 500.0)
+    out_ref, _ = model.apply({"params": params}, lat, txt, t, cache, mask)
+
+    def run(quant, act_scales=None):
+        c = PixArtConfig.tiny(
+            dtype=jnp.float32, quant=quant, act_scales=act_scales
+        )
+        out, _ = PixArtTransformer(c).apply(
+            {"params": params}, lat, txt, t, cache, mask
+        )
+        return out
+
+    out_static = run("int8_static", tuple(sorted(table.items())))
+    out_dyn = run("int8")
+    scale = float(jnp.abs(out_ref).max())
+    err_static = float(jnp.abs(out_static - out_ref).max()) / scale
+    err_dyn = float(jnp.abs(out_dyn - out_ref).max()) / scale
+    assert err_static < max(3 * err_dyn, 0.02), (err_static, err_dyn)
+
+    # empty table → every site falls back to the dynamic path
+    out_fallback = run("int8_static", ())
+    np.testing.assert_allclose(
+        np.asarray(out_fallback), np.asarray(out_dyn), rtol=0, atol=0
+    )
