@@ -111,9 +111,27 @@ def _bootstrap_cpu8(stage_args: list[str]) -> None:
     )
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
     argv = [os.path.abspath(__file__)] + stage_args
+    # XLA's CPU-collectives rendezvous kills the process after a
+    # hardcoded-default 40 s if any virtual-device thread is late to an
+    # all-reduce (F rendezvous.cc "Termination timeout ... exceeded"). On
+    # the 1-core host the 8 device threads are timesliced, and a 12B-scale
+    # per-device partition legitimately computes for minutes between
+    # collectives, so that default is a false positive here. The knobs are
+    # DebugOptions fields not registered with XLA_FLAGS in this jaxlib, so
+    # inject them per-computation by wrapping jax.jit in the child (every
+    # ecad_tpu jit site calls the jax.jit attribute).
     code = (
-        "import jax\n"
+        "import jax, functools\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
+        "_jit = jax.jit\n"
+        "_opts = {'xla_cpu_collective_call_warn_stuck_seconds': 600,\n"
+        "         'xla_cpu_collective_call_terminate_timeout_seconds':"
+        " 14400}\n"
+        "@functools.wraps(_jit)\n"
+        "def _patched(*a, **kw):\n"
+        "    kw.setdefault('compiler_options', _opts)\n"
+        "    return _jit(*a, **kw)\n"
+        "jax.jit = _patched\n"
         "import runpy, sys\n"
         f"sys.argv = {argv!r}\n"
         f"runpy.run_path({os.path.abspath(__file__)!r}, "
@@ -350,7 +368,7 @@ def stage_cpu_1024(
     sharded-mesh program instead of a single-48GB-GPU forward.
     """
     _bootstrap_cpu8(
-        ["cpu-1024", f"--mesh={dp}x{tp}"]
+        ["cpu-1024", f"--mesh={dp}x{tp}", f"--budget={budget_gib}"]
         + ([f"--cache-dtype={cache_dtype}"] if cache_dtype else [])
         + (["--compile-only"] if compile_only else [])
     )
@@ -377,7 +395,12 @@ def stage_cpu_1024(
 
     cdt = jnp.float8_e4m3fn if cache_dtype in ("f8", "float8_e4m3fn") else None
     config = FluxConfig(cache_dtype=cdt)  # dim 3072, 19 + 38 blocks
-    steps, b = 2, max(dp, 2)  # >=1 img per dp shard; scan memory is length-invariant
+    # one image per dp shard; scan memory is length-invariant. On the
+    # single-host virtual mesh every dp replica of the params is a real
+    # host-RAM copy, so dp=1 x tp=8 is the layout that fits 125 GiB while
+    # still executing full depth/width on all 8 devices (the dp=2 x tp=4
+    # v5e program is covered by the AOT lowering in stage_aot).
+    steps, b = 2, max(dp, 1)
     pcfg = FluxPipelineConfig(
         model=config, num_inference_steps=steps, height=1024, width=1024
     )
@@ -663,6 +686,7 @@ def main(argv=None) -> None:
         cache_dtype = None
         compile_only = False
         dp, tp = 2, 4
+        budget = 112.0
         for a in argv[1:]:
             if a.startswith("--cache-dtype="):
                 cache_dtype = a.split("=", 1)[1]
@@ -670,8 +694,14 @@ def main(argv=None) -> None:
                 compile_only = True
             elif a.startswith("--mesh="):
                 dp, tp = (int(v) for v in a.split("=", 1)[1].split("x"))
+            elif a.startswith("--budget="):
+                # the static analysis counts CPU bf16->f32 conversion
+                # temps that are transient in practice; pair an override
+                # with `ulimit -v` so a genuine overrun raises MemoryError
+                # instead of waking the OOM killer
+                budget = float(a.split("=", 1)[1])
         stage_cpu_1024(cache_dtype=cache_dtype, compile_only=compile_only,
-                       dp=dp, tp=tp)
+                       dp=dp, tp=tp, budget_gib=budget)
     elif stage == "aot":
         stage_aot()
     elif stage == "aot-sp":

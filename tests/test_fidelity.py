@@ -164,7 +164,11 @@ def test_train_cli_fidelity_cycle(tmp_path):
         "--populations-dir", str(pop),
         "--benchmarks-dir", str(benchdir),
     ]
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    # quiet-host runtime is ~90 s; the 1-core build host routinely runs
+    # long TPU benches concurrently, and under that contention the child's
+    # jit compiles have been observed to exceed 600 s — size the timeout
+    # for the loaded case so the suite stays green alongside them
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stderr[-3000:]
     score_files = sorted(
         (benchdir / "fid").glob("gen_*/candidates/cand_*/scores.json")
