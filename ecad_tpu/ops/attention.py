@@ -133,11 +133,12 @@ _ROWBLOCK_BLOCK_Q = 256
 _ROWBLOCK_BLOCK_Q_PADDED_D = 512
 _ROWBLOCK_MAX_KV_ELEMS = 8192 * 128
 
-# Transposed-PV kernel (lane-padded head dims, e.g. PixArt's 72): see
-# _transposed_kernel. Measured on v5e (scripts/exp_attn_variants.py,
-# `transposed` rows): B8H16T4096D72 5.90 ms vs 8.44 shipped row-block and
-# 8.3 padded matmul-only floor; B64H16T1024D72 5.29 vs 8.80 row-block /
-# 8.38 single-tile. bq=512 best at both shapes (256: 6.09 / 6.15).
+# Transposed sublane-contracted kernel (lane-padded head dims, e.g.
+# PixArt's 72): see _transposed_kernel. Measured on v5e
+# (scripts/exp_attn_variants.py, `transposed_subk` rows, quiet host):
+# B8H16T4096D72 5.36 ms (prior lane-contracted-QK transposed-PV 5.90,
+# row-block 8.44, padded matmul-only floor 8.3); B64H16T1024D72 4.14
+# (prior 5.08). bq=512 best at both shapes (256: 5.52 / 5.01).
 _TRANSPOSED_BLOCK_Q = 512
 # cap the kv rows per in-body chunk so the fp32 (chunk, bq) score tile
 # stays ≤4 MB next to K/Vᵀ (two chunks are alive for MXU/VPU dual-issue)
@@ -281,32 +282,44 @@ def _rowblock_kernel_nobias(q_ref, k_ref, v_ref, o_ref, *, chunks):
     )
 
 
-def _transposed_kernel(q_ref, k_ref, vT_ref, b_ref, o_ref, *, chunks):
-    """Transposed-PV row-block kernel for LANE-PADDED head dims (D=72 →
-    d_pad 128, the PixArt shapes).
+def _transposed_kernel(q_ref, kT_ref, vT_ref, b_ref, o_ref, *, chunks):
+    """Transposed sublane-contracted kernel for LANE-PADDED head dims
+    (D=72 → d_pad 128, the PixArt shapes).
 
-    The standard layout pays the 72→128 pad twice: the QK contraction
-    really is 72-long (intrinsic), but PV also writes a 128-lane output
-    of which 56 lanes are zeros — avoidable. Everything here is computed
-    transposed:
+    The standard layout pays the 72→128 pad twice: once as QK contraction
+    depth and once as 56 zero lanes in the PV output. Everything here is
+    computed transposed, with the head dim on SUBLANES of every operand
+    (72 rounds to 80, not 128):
 
-        Sᵀ = K · Qᵀ      (tk, bq)  — same padded-d contraction cost
-        Oᵀ = Vᵀ · Pᵀ     (d, bq)   — Vᵀ stored (d, tk): the head dim
-                           moves to SUBLANES (72 is an exact 8-multiple),
-                           the contraction (tk) is lane-aligned → zero
-                           pad waste, 128/72 ≈ 1.78× less PV work.
+        Sᵀ = Kᵀᵀ·Q       (tk, bq)  — Kᵀ stored (d8, tk), Q (d8, bq):
+                           the contraction runs over d8=80 SUBLANES of
+                           both operands (the `subk` variant), 128/80 =
+                           1.6× less QK work than the lane-padded depth
+        Oᵀ = Vᵀ · Pᵀ     (d, bq)   — Vᵀ stored (d8, tk): lane-aligned
+                           contraction (tk), zero pad waste in PV
 
     Softmax reduces over sublanes (axis 0) with the same static clamp as
     _rowblock_compute; `b_ref` carries the log2-domain key-padding bias
     as a COLUMN (tk, 1) broadcasting over query lanes (None on the
-    no-bias fast path via the _nobias twin). Measured: 5.90 ms at
-    B8H16T4096D72 vs the 8.3 ms PADDED matmul-only floor — the win is
-    below the old floor because the floor itself was paying the PV pad."""
-    q = q_ref[0]  # (d_pad, bq) — pre-transposed, pre-scaled by scale·log2e
+    no-bias fast path via the _nobias twin).
+
+    Measured bound analysis (v5e, scripts/exp_attn_variants.py,
+    B8H16T4096D72, quiet host, median of repeats): this kernel 5.36 ms;
+    prior transposed-PV (lane-contracted QK) 5.90; padded matmul-only
+    floor 8.3; fused-denominator variants (ones-row in Vᵀ so PV emits
+    [O; denom]) measured WORSE (5.85) — the +8 PV sublanes cost more
+    than the removed VPU sum. Remaining gap to the 3.1 ms unpadded-MXU
+    roofline: the d8=80 sublane pad (72→80, ×1.11 on QK) and the
+    sublane-layout relayout Mosaic inserts between S (lane-major
+    producer) and the PV operand; a two-head 144-sublane packing cannot
+    remove it (sublane tiles are 8/16-row multiples, not 72). 5.36 ms ≈
+    58% of the unpadded roofline and 1.55× the XLA-visible floor — kept
+    as the measured bound."""
+    q = q_ref[0]  # (d8, bq) — pre-transposed, pre-scaled by scale·log2e
     sums, pvs = [], []
     for lo, hi in chunks:
         s = jax.lax.dot_general(
-            k_ref[0, lo:hi], q, (((1,), (0,)), ((), ())),
+            kT_ref[0, :, lo:hi], q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (chunk, bq)
         if b_ref is not None:
@@ -328,8 +341,8 @@ def _transposed_kernel(q_ref, k_ref, vT_ref, b_ref, o_ref, *, chunks):
     o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
-def _transposed_kernel_nobias(q_ref, k_ref, vT_ref, o_ref, *, chunks):
-    _transposed_kernel(q_ref, k_ref, vT_ref, None, o_ref, chunks=chunks)
+def _transposed_kernel_nobias(q_ref, kT_ref, vT_ref, o_ref, *, chunks):
+    _transposed_kernel(q_ref, kT_ref, vT_ref, None, o_ref, chunks=chunks)
 
 
 def _transposed_attention(
@@ -349,8 +362,9 @@ def _transposed_attention(
     tk = k.shape[1]
     scale = _LOG2E / float(np.sqrt(d))
 
-    d_pad = _round_up(d, 128)
-    d8 = _round_up(d, 8)  # Vᵀ/output sublane dim — no lane pad needed
+    # head dim lives on sublanes for ALL operands: 16-row tiles for the
+    # bf16 operands (72 → 80) — no 128-lane pad anywhere
+    d8 = _round_up(d, 16)
     bq = min(_TRANSPOSED_BLOCK_Q, _round_up(tq, 128))
     tq_pad = _round_up(tq, bq)
     tk_pad = _round_up(tk, 128)
@@ -362,14 +376,12 @@ def _transposed_attention(
         )
 
     qT = (
-        pad(q, tq_pad, d_pad)
+        pad(q, tq_pad, d8)
         .transpose(0, 2, 3, 1)
-        .reshape(b * h, d_pad, tq_pad)
+        .reshape(b * h, d8, tq_pad)
         * jnp.asarray(scale, q.dtype)
     )
-    kp = (
-        pad(k, tk_pad, d_pad).transpose(0, 2, 1, 3).reshape(b * h, tk_pad, d_pad)
-    )
+    kT = pad(k, tk_pad, d8).transpose(0, 2, 3, 1).reshape(b * h, d8, tk_pad)
     vT = pad(v, tk_pad, d8).transpose(0, 2, 3, 1).reshape(b * h, d8, tk_pad)
 
     n_chunks = max(2, -(-tk_pad // _TRANSPOSED_MAX_CHUNK))
@@ -391,11 +403,11 @@ def _transposed_attention(
     )
     qkv_specs = [
         pl.BlockSpec(
-            (1, d_pad, bq), lambda i, qi: (i, 0, qi),
+            (1, d8, bq), lambda i, qi: (i, 0, qi),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, tk_pad, d_pad), lambda i, qi: (i, 0, 0),
+            (1, d8, tk_pad), lambda i, qi: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
@@ -409,7 +421,7 @@ def _transposed_attention(
             functools.partial(_transposed_kernel_nobias, chunks=chunks),
             in_specs=qkv_specs,
             **common,
-        )(qT, kp, vT)
+        )(qT, kT, vT)
         return (
             out.reshape(b, h, d8, tq_pad)[:, :, :d, :tq].transpose(0, 3, 1, 2)
         )
@@ -439,7 +451,7 @@ def _transposed_attention(
         in_specs=qkv_specs
         + [pl.BlockSpec((1, tk_pad, 1), bias_index, memory_space=pltpu.VMEM)],
         **common,
-    )(qT, kp, vT, bias_arr)
+    )(qT, kT, vT, bias_arr)
     return out.reshape(b, h, d8, tq_pad)[:, :, :d, :tq].transpose(0, 3, 1, 2)
 
 

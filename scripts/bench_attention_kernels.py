@@ -11,10 +11,15 @@ Contenders:
 * rowblock/N — single-pass row-block kernel (round 3): whole key sequence
                VMEM-resident, exp2 softmax with scale·log2e prefolded into
                q, q-block size N
+* transposed — sublane-contracted kernel for lane-padded head dims
+               (round 4): head dim on SUBLANES of every operand, so D=72
+               pads to 80 sublanes instead of 128 lanes on both matmuls
+* auto       — the public fused_attention() routing — what the models
+               actually call
 
 Each row prints ms and max|err| vs an fp32 einsum reference computed on
-device. Used to pick _ROWBLOCK_BLOCK_Q and to decide the D=72 routing
-(VERDICT r2 items 3 and 4).
+device. Used to pick _ROWBLOCK_BLOCK_Q and the D=72 routing; this one
+script regenerates the BENCH_LADDER `kernels` section (VERDICT r3 item 9).
 """
 
 from __future__ import annotations
@@ -115,6 +120,22 @@ def main() -> None:
                 rows[f"rowblock/{bq}"] = (ms, err(out))
         finally:
             A._ROWBLOCK_BLOCK_Q, A._ROWBLOCK_BLOCK_Q_PADDED_D = saved_bq
+
+        if padded:
+            ms, out = measure(
+                lambda q, k, v: A._transposed_attention(
+                    q, k, v, None, False
+                ),
+                q,
+                k,
+                v,
+            )
+            rows["transposed"] = (ms, err(out))
+
+        ms, out = measure(
+            lambda q, k, v: A.fused_attention(q, k, v), q, k, v
+        )
+        rows["auto"] = (ms, err(out))
 
         for label, (ms, err) in rows.items():
             print(

@@ -468,6 +468,9 @@ TRANSPOSED_V2 = ("transposed_fd", "transposed_subk", "transposed_subk_fd")
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only = [a.split("=")[1] for a in sys.argv[1:] if a.startswith("--shape=")]
+    n_chunks_list = [
+        int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--chunks=")
+    ] or [2]
     bqs = [int(x) for x in args] or [256, 512]
     for name, s in SHAPES.items():
         if only and name not in only:
@@ -489,34 +492,40 @@ def main() -> None:
         for bq in bqs:
             if s["d"] % 128:  # transposed-PV only pays off for padded D
                 for variant in TRANSPOSED_V2:
-                    fn2 = jax.jit(
-                        functools.partial(
-                            lambda q, k, v, bq=bq, variant=variant:
-                            _call_transposed_v2(q, k, v, bq, variant)
+                    for nc in n_chunks_list:
+                        fn2 = jax.jit(
+                            functools.partial(
+                                lambda q, k, v, bq=bq, variant=variant, nc=nc:
+                                _call_transposed_v2(
+                                    q, k, v, bq, variant, n_chunks=nc
+                                )
+                            )
                         )
-                    )
-                    out2 = fn2(q, k, v)
-                    e2 = float(
-                        jnp.abs(
-                            out2[:, :, :2].astype(jnp.float32)
-                            - ref.astype(jnp.float32)
-                        ).max()
-                    )
-                    ms2 = bench.time_fn(
-                        lambda: fn2(q, k, v), sync_out=bench.sync,
-                        warmup=2, samples=8,
-                    )
-                    print(
-                        json.dumps(
-                            {
-                                "metric": f"exp_{name}_{variant}_bq{bq}",
-                                "value": round(ms2 * 1e3, 3),
-                                "unit": "ms",
-                                "detail": {"max_abs_err_vs_xla_bf16": e2},
-                            }
-                        ),
-                        flush=True,
-                    )
+                        out2 = fn2(q, k, v)
+                        e2 = float(
+                            jnp.abs(
+                                out2[:, :, :2].astype(jnp.float32)
+                                - ref.astype(jnp.float32)
+                            ).max()
+                        )
+                        ms2 = bench.time_fn(
+                            lambda: fn2(q, k, v), sync_out=bench.sync,
+                            warmup=2, samples=8,
+                        )
+                        suffix = f"_c{nc}" if nc != 2 else ""
+                        print(
+                            json.dumps(
+                                {
+                                    "metric": (
+                                        f"exp_{name}_{variant}_bq{bq}{suffix}"
+                                    ),
+                                    "value": round(ms2 * 1e3, 3),
+                                    "unit": "ms",
+                                    "detail": {"max_abs_err_vs_xla_bf16": e2},
+                                }
+                            ),
+                            flush=True,
+                        )
                 fnT = jax.jit(
                     functools.partial(lambda q, k, v, bq=bq: _call_transposed(
                         q, k, v, bq
