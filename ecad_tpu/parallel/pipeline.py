@@ -431,3 +431,158 @@ class PipelinedPopulationDenoiser:
             self.stacked, self.rest, jnp.asarray(masks), noise, text, neg,
             text_mask, neg_mask,
         )
+
+
+class TGATEPipelinedDenoiser:
+    """TGATE (pipelines/tgate.py) composed with the pp harness: the
+    mid-trajectory CFG drop becomes TWO pp-scanned phases with a stacked
+    gate-cache transform between them — phase 1 streams the 2B CFG batch
+    through the stages for `gate_step` steps, the cross-attention cache's
+    CFG halves are averaged (other components keep the uncond half, they
+    are recomputed post-gate anyway, tgate.py gate_cache), and phase 2
+    streams the B null-embedding batch for the remaining steps with a
+    plain (no-CFG) DPM update. This pins the previously-untested
+    pp × TGATE boundary (round-3 review): the batch change is legal under
+    pp because each phase is its own shard_map program — nothing dynamic
+    crosses the gate except the carried latents/x0/cache.
+
+    Constraints: BOTH phases' batches split into n_micro microbatches
+    whose size is dp-sharded, so B % n_micro == 0 AND
+    (B // n_micro) % dp == 0 (phase 1 runs at 2B, which then divides
+    automatically). The pipeline must be a TGATEPixArtPipeline — its
+    set_schedule already validated phase-2 attn1/ff recompute and
+    cleared post-gate attn2 recompute flags."""
+
+    def __init__(self, pipeline, mesh: Mesh, n_micro: int):
+        self.pipeline = pipeline
+        self.mesh = mesh
+        self.n_micro = n_micro
+        nb = pipeline.config.model.num_blocks
+        self._fwd = build_pp_forward(pipeline.model, mesh, n_micro)
+        stacked, rest = stack_block_params(pipeline.params, nb)
+        bp_sh, _ = pp_shardings(mesh, stacked, {})
+        self.stacked = jax.device_put(stacked, bp_sh)
+        self.rest = rest
+        self._fn_cache: dict = {}
+
+    def _build(self, with_enc_mask: bool):
+        from ..pipelines.pixart_pipeline import cfg_dpm_step, dpm_update
+        from ..pipelines.samplers import dpm_scan_coeffs
+
+        p = self.pipeline
+        gate = p.gate_step
+        coeffs = jnp.asarray(dpm_scan_coeffs(p.dpm), jnp.float32)
+        nb = p.config.model.num_blocks
+        in_ch = p.config.model.in_channels
+
+        def denoise(stacked, rest, masks, noise, text, neg, text_mask,
+                    neg_mask):
+            b = noise.shape[0]
+            enc2 = jnp.concatenate([neg, text], axis=0)
+            enc_mask2 = None
+            if with_enc_mask:
+                enc_mask2 = jnp.concatenate([neg_mask, text_mask], axis=0)
+            res2, ar2 = p._additional_conditions(2 * b, noise.dtype)
+            res1, ar1 = p._additional_conditions(b, noise.dtype)
+            tokens = (noise.shape[1] // p.config.model.patch_size) * (
+                noise.shape[2] // p.config.model.patch_size
+            )
+            cache = {
+                k: jnp.zeros(
+                    (nb, 2 * b, tokens, p.config.model.dim),
+                    p.config.model.dtype,
+                )
+                for k in COMPONENTS
+            }
+            enc_pre2, _ = p.model.apply(
+                {"params": rest}, enc2,
+                method=PixArtTransformer.encode_text, with_kv=False,
+            )
+            kv_pre2 = stacked_cross_kv(p.config.model, stacked, enc_pre2)
+
+            def body1(carry, inp):
+                x, prev_x0, cache = carry
+                mask_row, co = inp
+                lat2 = jnp.concatenate([x, x], axis=0)
+                t = jnp.full((2 * b,), co[0], jnp.float32)
+                out, cache = self._fwd(
+                    stacked, rest, lat2, enc2, t, cache, mask_row,
+                    text_mask=enc_mask2, resolution=res2, aspect_ratio=ar2,
+                    text_precomputed=(enc_pre2, kv_pre2),
+                )
+                new_x, x0 = cfg_dpm_step(
+                    x, prev_x0, co, out, p.config.guidance_scale, in_ch
+                )
+                return (new_x, x0, cache), None
+
+            init = (
+                noise * p.dpm.init_noise_sigma,
+                jnp.zeros_like(noise, jnp.float32),
+                cache,
+            )
+            (x, prev_x0, cache), _ = jax.lax.scan(
+                body1, init, (masks[:gate], coeffs[:gate])
+            )
+
+            # gate transform on the STACKED cache (nb, 2B, T, d): average
+            # the CFG halves of cross-attention, keep the uncond half
+            # elsewhere (enc2 = [neg, text], uncond first) — exactly
+            # tgate.py's gate_cache on the stacked layout.
+            cache = {
+                k: (
+                    (a[:, :b] + a[:, b:]) / 2
+                    if k == "attn2"
+                    else a[:, :b]
+                )
+                for k, a in cache.items()
+            }
+
+            enc_pre1, _ = p.model.apply(
+                {"params": rest}, neg,
+                method=PixArtTransformer.encode_text, with_kv=False,
+            )
+            kv_pre1 = stacked_cross_kv(p.config.model, stacked, enc_pre1)
+
+            def body2(carry, inp):
+                x, prev_x0, cache = carry
+                mask_row, co = inp
+                t = jnp.full((b,), co[0], jnp.float32)
+                out, cache = self._fwd(
+                    stacked, rest, x, neg, t, cache, mask_row,
+                    text_mask=neg_mask if with_enc_mask else None,
+                    resolution=res1, aspect_ratio=ar1,
+                    text_precomputed=(enc_pre1, kv_pre1),
+                )
+                eps = out[..., :in_ch]
+                new_x, x0 = dpm_update(x, prev_x0, co, eps)
+                return (new_x, x0, cache), None
+
+            (x, _, _), _ = jax.lax.scan(
+                body2, (x, prev_x0, cache), (masks[gate:], coeffs[gate:])
+            )
+            return x
+
+        return jax.jit(denoise)
+
+    def denoise(self, noise, text, neg, text_mask=None,
+                neg_mask=None) -> jax.Array:
+        """Full TGATE trajectory; masks come from the pipeline's own
+        (gate-validated) schedule. See class docstring for the batch
+        divisibility constraints (checked here for a clear error)."""
+        b = noise.shape[0]
+        dp = self.mesh.shape.get("dp", 1)
+        if b % self.n_micro or (b // self.n_micro) % dp:
+            raise ValueError(
+                f"TGATE pp phase 2 batch {b} must split into "
+                f"n_micro={self.n_micro} microbatches divisible by "
+                f"dp={dp}; need B % n_micro == 0 and "
+                f"(B//n_micro) % dp == 0"
+            )
+        masks = jnp.asarray(np.asarray(self.pipeline.masks, dtype=bool))
+        key = (noise.shape, text.shape, text_mask is not None)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._build(text_mask is not None)
+        return self._fn_cache[key](
+            self.stacked, self.rest, masks, noise, text, neg,
+            text_mask, neg_mask,
+        )

@@ -314,22 +314,31 @@ class PixArtPipeline:
         return fn
 
 
+def dpm_update(x, prev_x0, co, eps):
+    """One DPM-Solver++(2M) update in scan form. `co` is one row of
+    samplers.dpm_scan_coeffs; `eps` the (already guidance-combined, if
+    any) noise prediction. Shared by the CFG step below and the no-CFG
+    TGATE phase-2 step (parallel/pipeline.py) so the sampler math exists
+    exactly once."""
+    sigma_t, alpha_t, c0, c1, d0, d1 = co[1], co[2], co[3], co[4], co[5], co[6]
+    x32 = x.astype(jnp.float32)
+    x0 = (x32 - sigma_t * eps.astype(jnp.float32)) / alpha_t
+    d = d0 * x0 + d1 * prev_x0
+    new_x = (c0 * x32 - c1 * d).astype(x.dtype)
+    return new_x, x0
+
+
 def cfg_dpm_step(x, prev_x0, co, eps2, guidance_scale, in_channels):
     """One classifier-free-guidance combine + DPM-Solver++(2M) update.
 
     `co` is one row of samplers.dpm_scan_coeffs; `eps2` the model output
     for the [negative; positive] doubled batch. Shared by
     PopulationDenoiser and the pipeline-parallel denoiser
-    (parallel/pipeline.py) so the sampler math exists exactly once."""
-    sigma_t, alpha_t, c0, c1, d0, d1 = co[1], co[2], co[3], co[4], co[5], co[6]
+    (parallel/pipeline.py)."""
     eps2 = eps2[..., :in_channels]
     eps_neg, eps_pos = jnp.split(eps2, 2, axis=0)
     eps = eps_neg + guidance_scale * (eps_pos - eps_neg)
-    x32 = x.astype(jnp.float32)
-    x0 = (x32 - sigma_t * eps.astype(jnp.float32)) / alpha_t
-    d = d0 * x0 + d1 * prev_x0
-    new_x = (c0 * x32 - c1 * d).astype(x.dtype)
-    return new_x, x0
+    return dpm_update(x, prev_x0, co, eps)
 
 
 class PopulationDenoiser:

@@ -265,3 +265,66 @@ def test_pipelined_population_denoiser_matches_plain():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1.5e-4, atol=5e-5
     )
+
+
+def test_pp_tgate_matches_plain():
+    """pp × TGATE composition (the round-3 untested boundary): the
+    mid-trajectory CFG drop — phase 1 at batch 2B, gate cache transform,
+    phase 2 at batch B — must match the plain TGATE pipeline's unrolled
+    program. Both phases are their own shard_map programs, so the batch
+    change never crosses a compiled boundary."""
+    from ecad_tpu.parallel.pipeline import TGATEPipelinedDenoiser
+    from ecad_tpu.pipelines import PixArtPipelineConfig
+    from ecad_tpu.pipelines.tgate import TGATEPixArtPipeline
+    from ecad_tpu.schedules import PixArtCacheSchedule
+    from ecad_tpu.schedules.generators.pixart_cache import _tgate_mask
+
+    config = PixArtConfig.tiny(num_blocks=4, dtype=jnp.float32)
+    _, params = init_params(config, 0)
+    steps, gate = 4, 2
+    mask, _ = _tgate_mask(config.num_blocks, steps, gate, 1, 1, 2)
+    sched = PixArtCacheSchedule(
+        config.num_blocks, steps, mask=mask.reshape(steps, -1), name="tg"
+    )
+    pcfg = PixArtPipelineConfig(model=config, num_inference_steps=steps)
+    tg = TGATEPixArtPipeline(pcfg, params, sched, gate_step=gate)
+
+    b = 4  # phase 1 runs 2B=8 = n_micro 2 × mb 4; phase 2 B=4 = 2 × 2
+    # (each microbatch is dp=2-sharded, so mb must be even in BOTH phases)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    noise = jax.random.normal(
+        k1, (b, config.sample_size, config.sample_size, 4)
+    ).astype(config.dtype)
+    text = jax.random.normal(k2, (b, config.text_len, config.caption_dim))
+    neg = jax.random.normal(k3, (b, config.text_len, config.caption_dim))
+
+    want = tg.denoise_stepwise(noise, text, neg)
+
+    mesh = create_pp_mesh(pp=4, dp=2)
+    with mesh:
+        ppd = TGATEPipelinedDenoiser(tg, mesh, n_micro=2)
+        got = ppd.denoise(noise, text, neg)
+
+    # plain TGATE runs the static-mask specialized programs, pp the
+    # lax.cond dynamic mode — same ops, different specialization; the
+    # 4-step two-phase trajectory accumulates per-step ulp drift
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1.5e-4, atol=5e-5
+    )
+
+
+def test_pp_quant_rejected():
+    """The pp harness refuses quantized configs loudly (quant fuses
+    per-tensor scale state through the stacked-params scan, unsupported)
+    rather than silently computing bf16."""
+    config = PixArtConfig.tiny(num_blocks=4, dtype=jnp.float32)
+    model, _ = init_params(config, 0)
+    import dataclasses
+
+    qconfig = dataclasses.replace(config, quant="int8")
+    from ecad_tpu.models.pixart import PixArtTransformer
+
+    qmodel = PixArtTransformer(qconfig)
+    mesh = create_pp_mesh(pp=4, dp=2)
+    with pytest.raises(NotImplementedError, match="quant"):
+        build_pp_forward(qmodel, mesh, n_micro=2)
