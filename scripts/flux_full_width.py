@@ -529,10 +529,17 @@ def stage_cpu_1024(
     assert pm.shape == (
         b, config.text_len + pcfg.image_seq_len, config.dim * 4
     ), pm.shape
-    assert pm.sharding.spec == P("dp", None, "tp"), pm.sharding
+    # a size-1 mesh axis is normalized away from the spec ("dp" -> None),
+    # so accept both forms when dp == 1 — semantically identical layouts
+    dp_ok = ("dp",) if mesh.shape["dp"] > 1 else ("dp", None)
+    assert (
+        pm.sharding.spec[0] in dp_ok
+        and pm.sharding.spec[1] is None
+        and pm.sharding.spec[2] == "tp"
+    ), pm.sharding
     assert pm.dtype == (cdt or config.dtype), pm.dtype
     fa = cache["full_attn_0"][0]
-    assert fa.sharding.spec[0] == "dp", fa.sharding
+    assert fa.sharding.spec[0] in dp_ok, fa.sharding
     result = {
         "metric": "flux_full_width_1024_cpu_mesh_step",
         "value": steps,
