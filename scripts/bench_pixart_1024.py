@@ -52,6 +52,11 @@ def time_pipe(pipe, params, text, neg, noise, vae) -> float:
 def main() -> None:
     import jax
 
+    from ecad_tpu.macs import (
+        V5E_PEAK_BF16,
+        hardware_flops_per_image,
+        vae_decoder_flops,
+    )
     from ecad_tpu.models import PixArtConfig, init_params
     from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
     from ecad_tpu.pipelines.tgate import TGATEPixArtPipeline
@@ -83,6 +88,19 @@ def main() -> None:
         / "schedules/alpha_cache_schedules/gen_default_1024x1024"
         / "default_1024x1024.json"
     )
+    vae_fl = vae_decoder_flops(1024, 1024)
+
+    def mfu(sched, t):
+        # MFU accounting (attention FLOPs included) against the bf16 MXU
+        # peak — same numerator convention as scripts/bench_ladder.py
+        fl = hardware_flops_per_image(sched) + vae_fl
+        tps = fl * BATCH / t
+        return {
+            "tflops_per_sec": round(tps / 1e12, 1),
+            "pct_peak": round(100.0 * tps / V5E_PEAK_BF16, 1),
+            "flops_per_image_T": round(fl / 1e12, 3),
+        }
+
     uncached = PixArtPipeline(pcfg, params, default)
     t_uncached = time_pipe(uncached, params, text, neg, noise, vae)
     ours_ms = t_uncached / BATCH * 1e3
@@ -95,6 +113,7 @@ def main() -> None:
                 "vs_baseline": round(REF_UNCACHED_MS / ours_ms, 4),
                 "detail": {
                     "batch": BATCH,
+                    **mfu(default, t_uncached),
                     "note": "full-size model (no width reduction); timed "
                     "region = denoise + VAE decode, matching the "
                     "reference row; vs_baseline = A6000 ms / v5e ms. "
@@ -127,6 +146,13 @@ def main() -> None:
         else:
             pipe = PixArtPipeline(pcfg, params, sched)
         t = time_pipe(pipe, params, text, neg, noise, vae)
+        # the 256->1024 transfer schedule's own config says 256, but it
+        # RUNS at 1024 here — force the 1024 cost table for MFU
+        from ecad_tpu.macs import pixart_cost_table
+
+        table = pixart_cost_table(1024, 1024, use_additional_conditions=True)
+        fl = hardware_flops_per_image(sched, table) + vae_fl
+        tps = fl * BATCH / t
         print(
             json.dumps(
                 {
@@ -137,6 +163,9 @@ def main() -> None:
                         "batch": BATCH,
                         "cached_ms_per_image": round(t / BATCH * 1e3, 3),
                         "uncached_ms_per_image": round(ours_ms, 3),
+                        "tflops_per_sec": round(tps / 1e12, 1),
+                        "pct_peak": round(100.0 * tps / V5E_PEAK_BF16, 1),
+                        "flops_per_image_T": round(fl / 1e12, 3),
                     },
                 }
             ),

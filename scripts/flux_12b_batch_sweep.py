@@ -19,6 +19,7 @@ import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 import bench  # noqa: E402  (repo-root: sync + compile-cache env)
 from flux_12b_single_chip import GIB, LADDER, SCHED_DIR, time_flux  # noqa: E402

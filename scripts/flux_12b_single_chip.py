@@ -130,10 +130,34 @@ def main() -> None:
         ms_img = t / batch * 1e3
         if name == "uncached":
             t_uncached = t
+        # MFU accounting (attention FLOPs included) vs the bf16 MXU peak:
+        # int8_w is weight-STORAGE only — the matmuls run bf16, so 197
+        # TFLOP/s is the honest denominator (394 would apply to W8A8)
+        from ecad_tpu.macs import (
+            V5E_PEAK_BF16,
+            flux_cost_table,
+            hardware_flops_per_image,
+            vae_decoder_flops,
+        )
+        from ecad_tpu.schedules import FluxCacheSchedule as _FCS
+
+        fl_sched = sched if sched is not None else _FCS.default(
+            num_inference_steps=pcfg.num_inference_steps
+        )
+        # batch=1: our flux pipeline is guidance-distilled (no CFG
+        # doubling); the table's reference-parity default batch=2 would
+        # double-count the per-image FLOPs
+        fl = hardware_flops_per_image(
+            fl_sched, flux_cost_table(256, 256, batch=1)
+        ) + vae_decoder_flops(256, 256)
+        tps = fl * batch / t
         results[name] = {
             "ms_per_image": round(ms_img, 2),
             "a6000_ms_per_image": LADDER[name],
             "absolute_speedup_vs_a6000": round(LADDER[name] / ms_img, 3),
+            "tflops_per_sec": round(tps / 1e12, 1),
+            "pct_peak_bf16": round(100.0 * tps / V5E_PEAK_BF16, 1),
+            "flops_per_image_T": round(fl / 1e12, 3),
             **(
                 {"speedup_vs_uncached": round(t_uncached / t, 3)}
                 if t_uncached is not None and name != "uncached"
