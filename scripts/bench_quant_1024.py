@@ -89,6 +89,15 @@ def main() -> None:
         )
     )
     act_scales = tuple(sorted(act_table.items()))
+    # drop the calibration program + its device buffers before timing:
+    # the 28-block 4096-token calibration cache (~1.6 GiB) plus the
+    # sow-interceptor executable's constants otherwise stay resident and
+    # OOM the first 1024² timing run on the 16 GiB chip
+    import gc
+
+    del calib_model, calib_cache, calib_mask, act_table
+    jax.clear_caches()
+    gc.collect()
     print(
         json.dumps(
             {
