@@ -89,6 +89,7 @@ def main() -> None:
         )
     )
     act_scales = tuple(sorted(act_table.items()))
+    n_sites = len(act_table)
     # drop the calibration program + its device buffers before timing:
     # the 28-block 4096-token calibration cache (~1.6 GiB) plus the
     # sow-interceptor executable's constants otherwise stay resident and
@@ -102,7 +103,7 @@ def main() -> None:
         json.dumps(
             {
                 "calibration": {
-                    "sites": len(act_table),
+                    "sites": n_sites,
                     "timesteps": [999, 500, 20],
                     "sec": round(_time.perf_counter() - t0, 1),
                 }
