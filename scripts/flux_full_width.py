@@ -529,17 +529,23 @@ def stage_cpu_1024(
     assert pm.shape == (
         b, config.text_len + pcfg.image_seq_len, config.dim * 4
     ), pm.shape
-    # a size-1 mesh axis is normalized away from the spec ("dp" -> None),
-    # so accept both forms when dp == 1 — semantically identical layouts
+    # a size-1 mesh axis is normalized away from the spec ("dp" -> None,
+    # and trailing Nones are trimmed — possibly to an EMPTY spec), so
+    # compare against the padded spec with size-1 axes treated as
+    # replicated-equivalent
+    def spec_entry(arr, i):
+        s = arr.sharding.spec
+        return s[i] if i < len(s) else None
+
     dp_ok = ("dp",) if mesh.shape["dp"] > 1 else ("dp", None)
     assert (
-        pm.sharding.spec[0] in dp_ok
-        and pm.sharding.spec[1] is None
-        and pm.sharding.spec[2] == "tp"
+        spec_entry(pm, 0) in dp_ok
+        and spec_entry(pm, 1) is None
+        and spec_entry(pm, 2) == "tp"
     ), pm.sharding
     assert pm.dtype == (cdt or config.dtype), pm.dtype
     fa = cache["full_attn_0"][0]
-    assert fa.sharding.spec[0] in dp_ok, fa.sharding
+    assert spec_entry(fa, 0) in dp_ok, fa.sharding
     result = {
         "metric": "flux_full_width_1024_cpu_mesh_step",
         "value": steps,
