@@ -113,7 +113,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-dtype", choices=["float8_e4m3fn"], default=None,
                    help="storage dtype for cached component activations"
                    " (FLUX only; halves cache HBM, docs/quantization.md)")
-    p.add_argument("--quant", choices=["int8", "int8_w"], default=None,
+    p.add_argument("--quant",
+                   choices=["int8", "int8_static", "int8_w"], default=None,
                    help="serving quantization for the denoiser's block"
                    " projections (ops/quant.py): 'int8' = W8A8 dynamic on"
                    " the double-rate int8 MXU; 'int8_w' also stores"

@@ -72,6 +72,14 @@ class PixArtImageGenerator(ImageGenerator):
 
         params = serving_cast(params, config.dtype)
         self._params = params
+        if config.quant == "int8_static" and config.act_scales is None:
+            import dataclasses
+
+            config = dataclasses.replace(
+                config, act_scales=self._calibrate_static_scales(
+                    config, params
+                ),
+            )
         pcfg = PixArtPipelineConfig(
             model=config,
             num_inference_steps=self.num_inference_steps,
@@ -87,6 +95,57 @@ class PixArtImageGenerator(ImageGenerator):
             dit_schedule=self.dit_schedule, **kwargs,
         )
         return self._pipeline
+
+    def _calibrate_static_scales(self, config, params) -> tuple:
+        """Per-site activation amax table for quant="int8_static"
+        (ops/quant.py calibrate_dense_amax): one bf16 forward at three
+        representative denoise timesteps, with REAL encoder embeddings
+        ("" — the CFG negative every generation runs anyway — plus a
+        generic prompt) so the ranges reflect the session's actual text
+        statistics, not synthetic noise. ~4 min on the v5e at 1024²,
+        amortized over the serving session; recalibrate by constructing
+        a fresh generator."""
+        import dataclasses
+
+        from ..models.pixart import (
+            PixArtTransformer,
+            full_step_mask,
+            init_cache,
+        )
+        from ..ops.quant import calibrate_dense_amax, merge_amax
+
+        base = dataclasses.replace(config, quant=None, act_scales=None)
+        model = PixArtTransformer(base)
+        enc = self.create_encoder_pipeline()
+        embeds = [enc.encode("")[0], enc.encode("a detailed photograph")[0]]
+        text = jnp.stack([jnp.asarray(e, base.dtype) for e in embeds])
+        b = text.shape[0]
+        noise = jax.random.normal(
+            jax.random.PRNGKey(0),
+            (b, base.sample_size, base.sample_size, base.in_channels),
+        ).astype(base.dtype)
+        cache = init_cache(base, b)
+        mask = full_step_mask(base)
+        kwargs = {}
+        if base.use_additional_conditions:
+            size = float(base.sample_size * 8)
+            kwargs = dict(
+                resolution=jnp.broadcast_to(
+                    jnp.array([[size, size]]), (b, 2)
+                ),
+                aspect_ratio=jnp.ones((b, 1)),
+            )
+        table = merge_amax(
+            *(
+                calibrate_dense_amax(
+                    model, {"params": params}, noise, text,
+                    jnp.full((b,), tv), cache, mask, **kwargs,
+                )
+                for tv in (999.0, 500.0, 20.0)
+            )
+        )
+        jax.clear_caches()  # drop the calibration program + its buffers
+        return tuple(sorted(table.items()))
 
     # -- encoding ----------------------------------------------------------
 

@@ -104,3 +104,20 @@ def test_pixart_cache_dtype_rejected(tmp_path):
     )
     assert r.returncode != 0
     assert "cache_dtype" in (r.stderr + r.stdout)
+
+
+def test_quant_int8_static_calibrates_and_generates(tmp_path):
+    """--quant int8_static triggers the first-build calibration path
+    (image_generators/pixart.py _calibrate_static_scales) and produces an
+    image; the 1024² winner must be drivable from the CLI end-to-end."""
+    r = _run(
+        [
+            "TinyPixArtImageGenerator",
+            "--prompt", "a calibrated tiny image",
+            "--output-dir", str(tmp_path),
+            "--num-inference-steps", "2",
+            "--quant", "int8_static",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert len(list((tmp_path / "images").glob("*.png"))) == 1
