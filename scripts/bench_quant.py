@@ -2,8 +2,10 @@
 
 Runs the headline PixArt-α 256 protocol (bench.py: 20-step denoise + VAE
 decode to uint8 pixels, batch 32) twice — bf16 serving vs the int8
-dynamic-quant MXU path (`PixArtConfig(quant="int8")`, ops/quant.py) —
-with identical weights/noise/text, on both the uncached default schedule
+dynamic-quant MXU path (`PixArtConfig(quant="int8")`, ops/quant.py) and
+the round-4 `int8_static` mode (per-tensor activation scales calibrated
+on 3 denoise timesteps — drops the per-token max-abs VPU pass) — with
+identical weights/noise/text, on both the uncached default schedule
 and the paper's `ours_fast`. Reports the int8 wall-clock speedup per
 schedule plus the end-image deltas (final-latent relative error and mean
 absolute uint8 pixel difference), so the speed/quality trade is one
@@ -50,6 +52,45 @@ def main() -> None:
         k3, (BATCH, config.sample_size, config.sample_size, config.in_channels)
     ).astype(config.dtype)
 
+    # static per-site activation scales calibrated on the bf16 model
+    from ecad_tpu.models.pixart import (
+        PixArtTransformer,
+        full_step_mask,
+        init_cache,
+    )
+    from ecad_tpu.ops.quant import calibrate_dense_amax, merge_amax
+
+    calib_model = PixArtTransformer(config)
+    calib_cache = init_cache(config, 2)
+    calib_mask = full_step_mask(config)
+    import jax.numpy as jnp
+
+    act_table = merge_amax(
+        *(
+            calibrate_dense_amax(
+                calib_model,
+                {"params": params},
+                noise[:2],
+                text[:2],
+                jnp.full((2,), tv),
+                calib_cache,
+                calib_mask,
+            )
+            for tv in (999.0, 500.0, 20.0)
+        )
+    )
+    act_scales = tuple(sorted(act_table.items()))
+    print(
+        json.dumps({"calibration": {"sites": len(act_table),
+                                    "timesteps": [999, 500, 20]}}),
+        flush=True,
+    )
+    import gc
+
+    del calib_model, calib_cache, calib_mask, act_table
+    jax.clear_caches()
+    gc.collect()
+
     schedules = {
         "default": PixArtCacheSchedule.default(),
         "ours_fast": bench.load_schedule(),
@@ -58,8 +99,11 @@ def main() -> None:
     results = {}
     for sched_name, sched in schedules.items():
         per_mode = {}
-        for quant in (None, "int8"):
-            cfg = PixArtConfig(quant=quant)
+        for quant in (None, "int8", "int8_static"):
+            cfg = PixArtConfig(
+                quant=quant,
+                act_scales=act_scales if quant == "int8_static" else None,
+            )
             pipe = PixArtPipeline(
                 PixArtPipelineConfig(model=cfg), params, sched
             )
@@ -77,27 +121,41 @@ def main() -> None:
             }
 
         bf16, int8 = per_mode["bf16"], per_mode["int8"]
-        lat_rel = float(
-            np.linalg.norm(int8["latents"] - bf16["latents"])
-            / max(np.linalg.norm(bf16["latents"]), 1e-9)
-        )
-        pix_mad = float(
-            np.mean(
-                np.abs(
-                    int8["pixels"].astype(np.float32)
-                    - bf16["pixels"].astype(np.float32)
+        static = per_mode["int8_static"]
+
+        def _deltas(mode):
+            lat_rel = float(
+                np.linalg.norm(mode["latents"] - bf16["latents"])
+                / max(np.linalg.norm(bf16["latents"]), 1e-9)
+            )
+            pix_mad = float(
+                np.mean(
+                    np.abs(
+                        mode["pixels"].astype(np.float32)
+                        - bf16["pixels"].astype(np.float32)
+                    )
                 )
             )
-        )
+            return lat_rel, pix_mad
+
+        lat_rel, pix_mad = _deltas(int8)
+        lat_rel_s, pix_mad_s = _deltas(static)
         results[sched_name] = {
             "bf16_ms_per_image": round(bf16["ms_per_image"], 3),
             "int8_ms_per_image": round(int8["ms_per_image"], 3),
+            "int8_static_ms_per_image": round(static["ms_per_image"], 3),
             "int8_speedup": round(
                 bf16["ms_per_image"] / int8["ms_per_image"], 4
             ),
+            "int8_static_speedup": round(
+                bf16["ms_per_image"] / static["ms_per_image"], 4
+            ),
             "final_latent_rel_err": round(lat_rel, 5),
             "pixel_mean_abs_diff_uint8": round(pix_mad, 3),
+            "static_final_latent_rel_err": round(lat_rel_s, 5),
+            "static_pixel_mean_abs_diff_uint8": round(pix_mad_s, 3),
         }
+        print(json.dumps({sched_name: results[sched_name]}), flush=True)
 
     print(
         json.dumps(
