@@ -202,6 +202,12 @@ def main() -> None:
                 "ms_per_image": r["detail"]["ms_per_image"],
             }
         out["flux_256_width_reduced_dim1536"] = sec
+    else:
+        # code path unchanged since r03 (lane-aligned D=128 attention,
+        # int8_w weight storage) — carry the measured row
+        row = dict(r03["flux_256_width_reduced_dim1536"])
+        row["carried_from"] = "r03"
+        out["flux_256_width_reduced_dim1536"] = row
     f1024 = by_metric(jsonl(EV / "flux1024.log"))
     if f1024:
         sec = {"comment": r03["flux_1024_width_reduced_dim1536"][
@@ -221,6 +227,10 @@ def main() -> None:
                 "ms_per_image": r["detail"]["ms_per_image"],
             }
         out["flux_1024_width_reduced_dim1536"] = sec
+    else:
+        row = dict(r03["flux_1024_width_reduced_dim1536"])
+        row["carried_from"] = "r03"
+        out["flux_1024_width_reduced_dim1536"] = row
 
     # ---- 12B single-chip + batch sweep ----
     f12 = by_metric(jsonl(EV / "flux12b.log"))
@@ -232,6 +242,9 @@ def main() -> None:
                 "_absolute"): v
             for k, v in f12.items()
         }
+    else:
+        sec = dict(r03["flux_full_width_12B"])
+        sec["carried_from"] = "r03"
     if "flux_12b_single_chip_batch_max" in sweep:
         sec["batch_max"] = sweep["flux_12b_single_chip_batch_max"]
     if sec:
@@ -312,6 +325,10 @@ def main() -> None:
         "train_cli_on_tpu",
     ):
         row = dict(r03[key])
+        if "chain" in row:
+            # label fix (VERDICT r3 #9): the image encoder is ViT-L/16
+            # per BLIP (scoring/image_reward.py:5)
+            row["chain"] = row["chain"].replace("ViT-L/14", "ViT-L/16")
         row["carried_from"] = "r03"
         out[key] = row
 
