@@ -54,7 +54,7 @@ def by_metric(rows: list[dict]) -> dict[str, dict]:
     return {r["metric"]: r for r in rows if "metric" in r}
 
 
-def main() -> None:
+def main(dest: pathlib.Path | None = None) -> None:
     r03 = json.loads((ROOT / "BENCH_LADDER_r03.json").read_text())
     out: dict = {
         "comment": (
@@ -244,7 +244,8 @@ def main() -> None:
         }
     else:
         sec = dict(r03["flux_full_width_12B"])
-        sec["carried_from"] = "r03"
+        # section renamed r03->r04; tag carries the source key
+        sec["carried_from"] = "r03:flux_full_width_12B"
     if "flux_12b_single_chip_batch_max" in sweep:
         sec["batch_max"] = sweep["flux_12b_single_chip_batch_max"]
     if sec:
@@ -332,10 +333,11 @@ def main() -> None:
         row["carried_from"] = "r03"
         out[key] = row
 
-    dest = ROOT / "BENCH_LADDER_r04.json"
+    if dest is None:
+        dest = ROOT / "BENCH_LADDER_r04.json"
     dest.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {dest} with sections: {list(out)[1:]}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main()
+    main(pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else None)
