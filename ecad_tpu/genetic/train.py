@@ -114,13 +114,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="storage dtype for cached component activations"
                    " (FLUX only; halves cache HBM, docs/quantization.md)")
     p.add_argument("--quant",
-                   choices=["int8", "int8_static", "int8_w"], default=None,
+                   choices=["int8", "int8_static", "int8_w",
+                            "int8_w_static"], default=None,
                    help="serving quantization for the denoiser's block"
                    " projections (ops/quant.py): 'int8' = W8A8 dynamic on"
                    " the double-rate int8 MXU; 'int8_w' also stores"
                    " kernels as int8, halving weight HBM")
     p.add_argument("--tiny-model", action="store_true",
                    help="2-block test model (random weights) for smoke runs")
+    p.add_argument("--flux-dim", type=int, default=None,
+                   help="width-reduce the FLUX model to this hidden dim "
+                        "(e.g. 1536 = the single-chip search model: all 57 "
+                        "blocks and the real 3420-gene genome, head_dim 128 "
+                        "kept, heads scaled dim/128). Schedule semantics "
+                        "are width-independent, so evolved schedules "
+                        "transfer to the full-width model — the same "
+                        "transfer argument as the reference's 256→1024 "
+                        "resolution transfer (SURVEY.md §6)")
+    p.add_argument("--flux-heads", type=int, default=None,
+                   help="override num_heads with --flux-dim (default "
+                        "dim // 128)")
     p.add_argument("--crossover-prob", type=float, default=0.9)
     p.add_argument("--crossover-points", type=int, default=4)
     p.add_argument("--mutation-prob", type=float, default=0.05)
@@ -410,13 +423,29 @@ def _build_flux_evaluator(args):
                 _eval_config(args), decode_fn=decode_fn, mesh=mesh,
             )
     else:
-        config = (
-            FluxConfig.tiny(dtype=jnp.float32, quant=args.quant,
-                            cache_dtype=_cache_dtype(args))
-            if args.tiny_model
-            else FluxConfig(quant=args.quant, cache_dtype=_cache_dtype(args))
-        )
-        _, params = init_flux_params(config, args.seed)
+        if args.tiny_model:
+            config = FluxConfig.tiny(dtype=jnp.float32, quant=args.quant,
+                                     cache_dtype=_cache_dtype(args))
+            _, params = init_flux_params(config, args.seed)
+        else:
+            width = {}
+            if args.flux_dim is not None:
+                width = dict(
+                    dim=args.flux_dim,
+                    num_heads=args.flux_heads or args.flux_dim // 128,
+                )
+            config = FluxConfig(quant=args.quant,
+                                cache_dtype=_cache_dtype(args), **width)
+            # bf16 serving params straight on device: fp32 init masters
+            # are 11.1 GB at dim 1536 and OOM the search's dynamic-mode
+            # program alongside the cache set (scripts/bench_flux.py:66-73)
+            from ..models.common import random_serving_params
+
+            params = random_serving_params(
+                jax.eval_shape(lambda: init_flux_params(config, args.seed)[1]),
+                seed=args.seed,
+                dtype=config.dtype,
+            )
         height = 64 if args.tiny_model else 256
         pcfg = FluxPipelineConfig(
             model=config,
@@ -538,8 +567,12 @@ def main(argv=None) -> None:
     manager = initialize_manager(args)
 
     ckpt = manager.checkpoint_path()
+    # probe without generation_dir(): its mkdir side effect would create a
+    # bogus gen_-01 dir when starting from a seeded gen_000
     prev_ckpt = (
-        manager.generation_dir(manager.generation_num - 1) / CHECKPOINT_FILENAME
+        manager.population_dir
+        / f"gen_{manager.generation_num - 1:03d}"
+        / CHECKPOINT_FILENAME
     )
     if ckpt.exists():
         algo = NSGA2.load(ckpt)
