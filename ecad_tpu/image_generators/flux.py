@@ -99,6 +99,17 @@ class FluxImageGenerator(ImageGenerator):
 
         params = serving_cast(params, config.dtype)
         self._params = params
+        if (
+            config.quant in ("int8_static", "int8_w_static")
+            and config.act_scales is None
+        ):
+            import dataclasses
+
+            config = dataclasses.replace(
+                config, act_scales=self._calibrate_static_scales(
+                    config, params
+                ),
+            )
         pcfg = FluxPipelineConfig(
             model=config,
             num_inference_steps=self.num_inference_steps,
@@ -108,6 +119,61 @@ class FluxImageGenerator(ImageGenerator):
         )
         self._pipeline = FluxPipeline(pcfg, params, self.cache_schedule)
         return self._pipeline
+
+    def _calibrate_static_scales(self, config, params) -> tuple:
+        """Per-site activation amax table for the static quant modes
+        (ops/quant.py calibrate_dense_amax) — the FLUX port of
+        PixArtImageGenerator._calibrate_static_scales: one forward at
+        three representative flow-matching times (t = 1.0, 0.5, 0.05 in
+        the transformer's [0,1] sigma convention) with real encoder
+        embeddings ("" + a generic prompt).
+
+        "int8_static" calibrates the bf16 (quant=None) model.
+        "int8_w_static" calibrates ON the int8_w model — the only FLUX
+        variant whose full-width weights fit one chip — recording
+        Int8Dense inputs at the same sites (the activation statistic is
+        the same either way; the weights' own quantization error is
+        second-order on an amax)."""
+        import dataclasses
+
+        from ..models.flux import (
+            FluxTransformer,
+            full_flux_mask,
+            init_flux_cache,
+        )
+        from ..ops.quant import calibrate_dense_amax, merge_amax
+
+        base_quant = "int8_w" if config.quant == "int8_w_static" else None
+        base = dataclasses.replace(
+            config, quant=base_quant, act_scales=None
+        )
+        model = FluxTransformer(base)
+        enc = self.create_encoder_pipeline()
+        pairs = [enc.encode(""), enc.encode("a detailed photograph")]
+        txt = jnp.stack([jnp.asarray(e, base.dtype) for e, _ in pairs])
+        pooled = jnp.stack([jnp.asarray(p, base.dtype) for _, p in pairs])
+        b = txt.shape[0]
+        gh, gw = self.height // 16, self.width // 16
+        noise = jax.random.normal(
+            jax.random.PRNGKey(0), (b, gh * gw, base.in_channels)
+        ).astype(base.dtype)
+        guidance = (
+            jnp.full((b,), self.guidance_scale, jnp.float32)
+            if base.guidance_embeds
+            else None
+        )
+        table = merge_amax(
+            *(
+                calibrate_dense_amax(
+                    model, {"params": params}, noise, txt, pooled,
+                    jnp.full((b,), tv, jnp.float32), guidance,
+                    init_flux_cache(), full_flux_mask(base), (gh, gw),
+                )
+                for tv in (1.0, 0.5, 0.05)
+            )
+        )
+        jax.clear_caches()  # drop the calibration program + its buffers
+        return tuple(sorted(table.items()))
 
     def encode_prompts(self, prompts: Sequence[str]) -> list[dict[str, Any]]:
         enc = self.create_encoder_pipeline()
@@ -189,7 +255,9 @@ class TinyFluxImageGenerator(FluxImageGenerator):
         cdt = None
         if self.cache_dtype is not None:
             cdt = jnp.dtype(self.cache_dtype)
-        return FluxConfig.tiny(dtype=jnp.float32, cache_dtype=cdt)
+        return FluxConfig.tiny(
+            dtype=jnp.float32, quant=self.quant, cache_dtype=cdt
+        )
 
     def _load_schedule_file(self, schedule_path):
         import numpy as _np

@@ -72,7 +72,10 @@ class PixArtImageGenerator(ImageGenerator):
 
         params = serving_cast(params, config.dtype)
         self._params = params
-        if config.quant == "int8_static" and config.act_scales is None:
+        if (
+            config.quant in ("int8_static", "int8_w_static")
+            and config.act_scales is None
+        ):
             import dataclasses
 
             config = dataclasses.replace(
@@ -114,7 +117,10 @@ class PixArtImageGenerator(ImageGenerator):
         )
         from ..ops.quant import calibrate_dense_amax, merge_amax
 
-        base = dataclasses.replace(config, quant=None, act_scales=None)
+        base_quant = "int8_w" if config.quant == "int8_w_static" else None
+        base = dataclasses.replace(
+            config, quant=base_quant, act_scales=None
+        )
         model = PixArtTransformer(base)
         enc = self.create_encoder_pipeline()
         embeds = [enc.encode("")[0], enc.encode("a detailed photograph")[0]]

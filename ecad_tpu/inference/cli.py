@@ -47,13 +47,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument(
-        "--quant", choices=["int8", "int8_static", "int8_w"], default=None,
+        "--quant",
+        choices=["int8", "int8_static", "int8_w", "int8_w_static"],
+        default=None,
         help="serving quantization for the transformer's block projections"
         " (W8A8 dynamic, int8 MXU path; 'int8_static' uses per-site"
         " CALIBRATED activation scales — calibrates on first pipeline"
-        " build, PixArt only, the 1024² winner; 'int8_w' additionally"
-        " STORES kernels as int8, halving weight HBM — fits full-width 12B"
-        " FLUX on one 16 GiB v5e chip; see docs/quantization.md)",
+        " build, PixArt + FLUX; 'int8_w' additionally STORES kernels as"
+        " int8, halving weight HBM — fits full-width 12B FLUX on one"
+        " 16 GiB v5e chip; 'int8_w_static' combines int8 weight storage"
+        " with the calibrated activation scales, the 12B single-chip"
+        " serving mode; see docs/quantization.md)",
     )
     p.add_argument(
         "--cache-dtype", choices=["float8_e4m3fn"], default=None,

@@ -565,13 +565,19 @@ class Attention(nn.Module):
         from ..ops.quant import Int8Dense, maybe_quant_dot_general
 
         def dense(name, features, in_axis, out_axis, use_bias):
-            if self.quant == "int8_w":
+            if self.quant in ("int8_w", "int8_w_static"):
+                amax = None
+                if self.quant == "int8_w_static" and self.act_scales:
+                    amax = dict(self.act_scales).get(
+                        "/".join(self.path + (name,))
+                    )
                 return Int8Dense(
                     features,
                     axes=(in_axis, out_axis),
                     use_bias=use_bias,
                     dtype=self.dtype,
                     name=name,
+                    act_amax=amax,
                 )
             dg = maybe_quant_dot_general(
                 self.quant, "/".join(self.path + (name,)), self.act_scales
@@ -642,15 +648,24 @@ class FeedForward(nn.Module):
             )
 
         inner = self.dim * self.mult
-        if self.quant == "int8_w":
+        if self.quant in ("int8_w", "int8_w_static"):
+            def amax(name):
+                if self.quant != "int8_w_static" or not self.act_scales:
+                    return None
+                return dict(self.act_scales).get(
+                    "/".join(self.path + (name,))
+                )
+
             proj_in = Int8Dense(
                 inner * (2 if self.gated else 1),
                 axes=(EMBED, MLP),
                 dtype=self.dtype,
                 name="proj_in",
+                act_amax=amax("proj_in"),
             )
             proj_out = Int8Dense(
-                self.dim, axes=(MLP, EMBED), dtype=self.dtype, name="proj_out"
+                self.dim, axes=(MLP, EMBED), dtype=self.dtype,
+                name="proj_out", act_amax=amax("proj_out"),
             )
         else:
             proj_in = nn.Dense(

@@ -101,15 +101,26 @@ class FluxConfig:
     text_len: int = 512
     guidance_embeds: bool = True
     dtype: Any = jnp.bfloat16
-    # None | "int8" | "int8_w" (ops/quant.py):
+    # None | "int8" | "int8_static" | "int8_w" | "int8_w_static"
+    # (ops/quant.py):
     # * "int8": block projections through the W8A8 dynamic-quant int8
     #   MXU path; bf16 weights in HBM. Embedders, adaLN, QKNorm,
     #   softmax, and the final projection stay bf16/fp32.
+    # * "int8_static": "int8" with calibrated per-site STATIC activation
+    #   scales from `act_scales` — removes the per-token max-abs VPU
+    #   pass (FluxImageGenerator._calibrate_static_scales).
     # * "int8_w": int8 weight STORAGE (+ per-channel scale) for the
     #   block projections AND the adaLN linears — halves weight HBM so
     #   the full-width 12B model fits one 16 GiB v5e chip (23.8 GiB
     #   bf16 → ~11.2 GiB). Same W8A8 MXU path at apply time.
+    # * "int8_w_static": "int8_w" storage + the static activation
+    #   scales (Int8Dense.act_amax) — the 12B single-chip serving mode.
     quant: Any = None
+    # Calibration table for the static modes: tuple of (site, amax)
+    # pairs keyed by module path ("blocks_3/attn/to_q"); kept a tuple so
+    # the config stays hashable. None = uncalibrated (static modes fall
+    # back to dynamic per-token scales per site).
+    act_scales: Optional[tuple] = None
     # None (store caches in `dtype`) or a storage dtype for the cached
     # component activations, e.g. jnp.float8_e4m3fn — halves cache HBM,
     # which is what lets the CACHED full-width 12B programs fit one chip
@@ -195,25 +206,38 @@ def _dense(
     dtype=jnp.bfloat16,
     use_bias=True,
     quant=None,
+    parent=None,
+    act_scales=None,
 ):
+    """`parent` (the calling module) + `act_scales` thread the static
+    quant modes' calibration table: the site key is the Dense's flax
+    module path (parent.path + name) — exactly what calibrate_dense_amax
+    records. Sites absent from the table keep dynamic scales."""
     from ..ops.quant import Int8Dense, maybe_quant_dot_general
 
-    if quant == "int8_w":
+    site = None
+    if parent is not None and act_scales is not None:
+        site = "/".join((*parent.path, name))
+    if quant in ("int8_w", "int8_w_static"):
         # Weight-STORAGE quantization: int8 kernel in HBM (1 byte/param)
         # + per-channel scale, W8A8 on the int8 MXU. This is the mode
         # that fits full-width 12B FLUX on one 16 GiB v5e chip.
+        amax = None
+        if quant == "int8_w_static" and site is not None:
+            amax = dict(act_scales).get(site)
         return Int8Dense(
             dim,
             axes=(in_axis, out_axis),
             use_bias=use_bias,
             dtype=dtype,
             name=name,
+            act_amax=amax,
         )
     return nn.Dense(
         dim,
         use_bias=use_bias,
         dtype=dtype,
-        dot_general=maybe_quant_dot_general(quant),
+        dot_general=maybe_quant_dot_general(quant, site, act_scales),
         kernel_init=with_part(nn.initializers.normal(0.02), (in_axis, out_axis)),
         name=name,
     )
@@ -241,8 +265,11 @@ class AdaNorm(nn.Module):
             self.n_mods * self.dim,
             "linear",
             dtype=self.dtype,
-            out_axis=None,
-            quant=self.quant if self.quant == "int8_w" else None,
+            # int8_w_static keeps DYNAMIC activation scales here: temb is
+            # one token, so the max-abs pass costs nothing and adaLN
+            # stays out of the calibration table
+            quant="int8_w" if self.quant in ("int8_w", "int8_w_static")
+            else None,
         )(nn.silu(temb))
         parts = jnp.split(mods[:, None, :], self.n_mods, axis=-1)
         shift, scale = parts[0], parts[1]
@@ -295,14 +322,14 @@ class FluxJointAttention(nn.Module):
         def heads(x):
             return x.reshape(b, -1, c.num_heads, c.head_dim)
 
-        q = heads(_dense(inner, "to_q", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(img))
-        k = heads(_dense(inner, "to_k", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(img))
-        v = heads(_dense(inner, "to_v", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(img))
+        q = heads(_dense(inner, "to_q", out_axis=HEADS, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(img))
+        k = heads(_dense(inner, "to_k", out_axis=HEADS, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(img))
+        v = heads(_dense(inner, "to_v", out_axis=HEADS, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(img))
         q, k = QKNorm(c.head_dim, c.dtype, name="norm_qk")(q, k)
 
-        qc = heads(_dense(inner, "add_q_proj", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(txt))
-        kc = heads(_dense(inner, "add_k_proj", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(txt))
-        vc = heads(_dense(inner, "add_v_proj", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(txt))
+        qc = heads(_dense(inner, "add_q_proj", out_axis=HEADS, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(txt))
+        kc = heads(_dense(inner, "add_k_proj", out_axis=HEADS, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(txt))
+        vc = heads(_dense(inner, "add_v_proj", out_axis=HEADS, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(txt))
         qc, kc = QKNorm(c.head_dim, c.dtype, name="norm_added_qk")(qc, kc)
 
         # text first, matching diffusers' concatenation order
@@ -314,8 +341,8 @@ class FluxJointAttention(nn.Module):
         out = dot_product_attention(q, k, v)  # backend-switchable (common)
         out = out.reshape(b, tt + ti, inner)
         txt_out, img_out = out[:, :tt], out[:, tt:]
-        img_out = _dense(c.dim, "to_out", in_axis=HEADS, out_axis=EMBED, dtype=c.dtype, quant=c.quant)(img_out)
-        txt_out = _dense(c.dim, "to_add_out", in_axis=HEADS, out_axis=EMBED, dtype=c.dtype, quant=c.quant)(txt_out)
+        img_out = _dense(c.dim, "to_out", in_axis=HEADS, out_axis=EMBED, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(img_out)
+        txt_out = _dense(c.dim, "to_add_out", in_axis=HEADS, out_axis=EMBED, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(txt_out)
         return img_out, txt_out
 
 
@@ -334,9 +361,9 @@ class FluxSingleAttention(nn.Module):
         def heads(y):
             return y.reshape(b, s, c.num_heads, c.head_dim)
 
-        q = heads(_dense(inner, "to_q", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(x))
-        k = heads(_dense(inner, "to_k", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(x))
-        v = heads(_dense(inner, "to_v", out_axis=HEADS, dtype=c.dtype, quant=c.quant)(x))
+        q = heads(_dense(inner, "to_q", out_axis=HEADS, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(x))
+        k = heads(_dense(inner, "to_k", out_axis=HEADS, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(x))
+        v = heads(_dense(inner, "to_v", out_axis=HEADS, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(x))
         q, k = QKNorm(c.head_dim, c.dtype, name="norm_qk")(q, k)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -388,9 +415,9 @@ class FluxDualBlock(nn.Module):
         norm_img2 = layer_norm(img) * (1 + scale_mlp) + shift_mlp
 
         def compute_ff():
-            ff = _dense(c.dim * c.mlp_ratio, "ff_in", out_axis=MLP, dtype=c.dtype, quant=c.quant)(norm_img2)
+            ff = _dense(c.dim * c.mlp_ratio, "ff_in", out_axis=MLP, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(norm_img2)
             ff = nn.gelu(ff, approximate=True)
-            return _dense(c.dim, "ff_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype, quant=c.quant)(ff)
+            return _dense(c.dim, "ff_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales)(ff)
 
         ff = logical_constraint(
             _pick(recompute_ff, compute_ff, _from_cache(cache["full_ff"], c)),
@@ -404,11 +431,11 @@ class FluxDualBlock(nn.Module):
 
         def compute_ffc():
             ffc = _dense(
-                c.dim * c.mlp_ratio, "ff_context_in", out_axis=MLP, dtype=c.dtype, quant=c.quant
+                c.dim * c.mlp_ratio, "ff_context_in", out_axis=MLP, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales
             )(norm_txt2)
             ffc = nn.gelu(ffc, approximate=True)
             return _dense(
-                c.dim, "ff_context_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype, quant=c.quant
+                c.dim, "ff_context_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales
             )(ffc)
 
         ffc = logical_constraint(
@@ -448,7 +475,7 @@ class FluxSingleBlock(nn.Module):
         mlp = _pick(
             recompute_mlp,
             lambda: _dense(
-                c.dim * c.mlp_ratio, "proj_mlp", out_axis=MLP, dtype=c.dtype, quant=c.quant
+                c.dim * c.mlp_ratio, "proj_mlp", out_axis=MLP, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales
             )(normed),
             _from_cache(cache["single_proj_mlp"], c),
         )
@@ -471,7 +498,7 @@ class FluxSingleBlock(nn.Module):
         def compute_out():
             joint = jnp.concatenate([attn, mlp_act], axis=-1)
             return _dense(
-                c.dim, "proj_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype, quant=c.quant
+                c.dim, "proj_out", in_axis=MLP, out_axis=EMBED, dtype=c.dtype, quant=c.quant, parent=self, act_scales=c.act_scales
             )(joint)
 
         out = logical_constraint(

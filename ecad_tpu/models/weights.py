@@ -162,7 +162,7 @@ def _storage_quantize(params: dict, config, init_params_fn) -> dict:
     `kernel` + fp32 per-channel `scale` wherever the model instantiates
     an Int8Dense). The target structure comes from an abstract
     `eval_shape` of the random init — no weight-sized compute."""
-    if getattr(config, "quant", None) != "int8_w":
+    if getattr(config, "quant", None) not in ("int8_w", "int8_w_static"):
         return params
     import jax
     from flax import linen as nn

@@ -172,15 +172,17 @@ def maybe_quant_dot_general(
 ):
     """The `dot_general` override for a quant mode name: None (exact
     default) for bf16 serving, `int8_dot_general` for "int8". "int8_w"
-    (weight-STORAGE quantization) is handled structurally — the model
-    swaps `nn.Dense` for `Int8Dense` — so it maps to None here.
+    and "int8_w_static" (weight-STORAGE quantization, the latter with
+    calibrated static activation scales via `Int8Dense.act_amax`) are
+    handled structurally — the model swaps `nn.Dense` for `Int8Dense` —
+    so they map to None here.
 
     "int8_static": per-site static activation scales. `act_scales` is a
     mapping (or tuple of pairs — configs keep it hashable) from module
     path (e.g. "block_3/attn1/to_q") to calibrated max-abs; `site_key` is
     this Dense's path. A site missing from the calibration table falls
     back to the dynamic per-token path — safe, just slower."""
-    if quant is None or quant in ("none", "int8_w"):
+    if quant is None or quant in ("none", "int8_w", "int8_w_static"):
         return None
     if quant == "int8":
         return int8_dot_general
@@ -192,7 +194,7 @@ def maybe_quant_dot_general(
         return static_int8_dot_general(amax)
     raise ValueError(
         f"unknown quant mode {quant!r} "
-        "(expected None|'int8'|'int8_static'|'int8_w')"
+        "(expected None|'int8'|'int8_static'|'int8_w'|'int8_w_static')"
     )
 
 
@@ -209,8 +211,12 @@ def calibrate_dense_amax(model, variables, *args, **kwargs) -> dict:
     import flax.linen as nn_
 
     def interceptor(next_fn, iargs, ikwargs, context):
+        # Int8Dense too: the 12B int8_w model is the only FLUX variant
+        # that fits one chip, so its static-scale calibration must run
+        # ON the weight-quantized model (input activations at each site
+        # are the statistic being calibrated either way)
         if context.method_name == "__call__" and isinstance(
-            context.module, nn_.Dense
+            context.module, (nn_.Dense, Int8Dense)
         ):
             a = jnp.max(jnp.abs(iargs[0].astype(jnp.float32)))
             context.module.sow(
@@ -302,6 +308,12 @@ class Int8Dense(_nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
     init_scale: float = 0.02
+    # Calibrated STATIC activation max-abs ("int8_w_static"): when set,
+    # the per-token max-abs reduction disappears and the activation
+    # quantizes against this trace-time constant — the same bandwidth
+    # win as static_int8_dot_general, composed with int8 weight storage
+    # (the combination the 12B single-chip rows serve with).
+    act_amax: Optional[float] = None
 
     @_nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -326,7 +338,14 @@ class Int8Dense(_nn.Module):
             _nn.with_logical_partitioning(scale_init, (self.axes[-1],)),
             (self.features,),
         )
-        xq, xs = quantize_int8(x, axis=-1)
+        if self.act_amax is None:
+            xq, xs = quantize_int8(x, axis=-1)
+        else:
+            inv = 127.0 / max(float(self.act_amax), _EPS)
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * inv), -127.0, 127.0
+            ).astype(jnp.int8)
+            xs = jnp.float32(1.0 / inv)
         dn = (((x.ndim - 1,), (0,)), ((), ()))
         acc = lax.dot_general(
             xq, kernel, dn, preferred_element_type=jnp.int32

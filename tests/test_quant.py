@@ -387,3 +387,116 @@ def test_int8_static_calibrated_close_to_bf16():
     np.testing.assert_allclose(
         np.asarray(out_fallback), np.asarray(out_dyn), rtol=0, atol=0
     )
+
+
+def test_flux_int8_static_calibrated_close_to_bf16():
+    """FLUX port of the static calibration path (VERDICT r4 #5): per-site
+    calibrated activation scales thread through models/flux.py's _dense
+    (parent.path + name == calibrate_dense_amax's interceptor keys), and
+    an empty table degrades to the dynamic per-token path exactly."""
+    from ecad_tpu.models.flux import (
+        FluxConfig,
+        FluxTransformer,
+        full_flux_mask,
+        init_flux_cache,
+        init_flux_params,
+    )
+    from ecad_tpu.ops.quant import calibrate_dense_amax, merge_amax
+
+    cfg = FluxConfig.tiny(dtype=jnp.float32)
+    model = FluxTransformer(cfg)
+    _, params = init_flux_params(cfg, 0)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    lat = jax.random.normal(k1, (2, 16, cfg.in_channels))
+    txt = jax.random.normal(k2, (2, cfg.text_len, cfg.joint_dim))
+    pooled = jax.random.normal(k3, (2, cfg.pooled_dim))
+    g = jnp.full((2,), 3.5, jnp.float32)
+    mask = full_flux_mask(cfg)
+    cache = init_flux_cache()
+
+    table = merge_amax(
+        *(
+            calibrate_dense_amax(
+                model, {"params": params}, lat, txt, pooled,
+                jnp.full((2,), tv, jnp.float32), g, cache, mask, (4, 4),
+            )
+            for tv in (1.0, 0.05)
+        )
+    )
+    # dual-stream, single-stream, and ff sites all keyed by module path
+    assert any(k.endswith("attn/to_q") for k in table), sorted(table)[:5]
+    assert any("single" in k and k.endswith("proj_mlp") for k in table)
+
+    t = jnp.full((2,), 0.5, jnp.float32)
+    out_ref, _ = model.apply(
+        {"params": params}, lat, txt, pooled, t, g, cache, mask, (4, 4)
+    )
+
+    def run(quant, act_scales=None):
+        c = FluxConfig.tiny(
+            dtype=jnp.float32, quant=quant, act_scales=act_scales
+        )
+        out, _ = FluxTransformer(c).apply(
+            {"params": params}, lat, txt, pooled, t, g, cache, mask, (4, 4)
+        )
+        return out
+
+    out_static = run("int8_static", tuple(sorted(table.items())))
+    out_dyn = run("int8")
+    scale = float(jnp.abs(out_ref).max())
+    err_static = float(jnp.abs(out_static - out_ref).max()) / scale
+    err_dyn = float(jnp.abs(out_dyn - out_ref).max()) / scale
+    assert err_static < max(3 * err_dyn, 0.02), (err_static, err_dyn)
+
+    out_fallback = run("int8_static", ())
+    np.testing.assert_allclose(
+        np.asarray(out_fallback), np.asarray(out_dyn), rtol=0, atol=0
+    )
+
+
+def test_flux_int8_w_static_acts():
+    """int8_w_static = int8 weight STORAGE + calibrated static activation
+    scales (Int8Dense.act_amax). Calibration runs ON the int8_w model
+    (the only full-width-viable one); the static variant must track the
+    dynamic int8_w outputs to within the same quant-noise order."""
+    from ecad_tpu.models.flux import (
+        FluxConfig,
+        FluxTransformer,
+        full_flux_mask,
+        init_flux_cache,
+        init_flux_params,
+    )
+    from ecad_tpu.ops.quant import calibrate_dense_amax, merge_amax
+
+    cfg_w = FluxConfig.tiny(dtype=jnp.float32, quant="int8_w")
+    model_w = FluxTransformer(cfg_w)
+    _, params_w = init_flux_params(cfg_w, 0)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    lat = jax.random.normal(k1, (2, 16, cfg_w.in_channels))
+    txt = jax.random.normal(k2, (2, cfg_w.text_len, cfg_w.joint_dim))
+    pooled = jax.random.normal(k3, (2, cfg_w.pooled_dim))
+    g = jnp.full((2,), 3.5, jnp.float32)
+    mask = full_flux_mask(cfg_w)
+
+    table = calibrate_dense_amax(
+        model_w, {"params": params_w}, lat, txt, pooled,
+        jnp.full((2,), 1.0, jnp.float32), g, init_flux_cache(), mask, (4, 4),
+    )
+    assert table, "Int8Dense sites must be calibratable"
+
+    t = jnp.full((2,), 0.5, jnp.float32)
+    out_dyn, _ = model_w.apply(
+        {"params": params_w}, lat, txt, pooled, t, g, init_flux_cache(),
+        mask, (4, 4),
+    )
+    cfg_ws = FluxConfig.tiny(
+        dtype=jnp.float32, quant="int8_w_static",
+        act_scales=tuple(sorted(merge_amax(table).items())),
+    )
+    out_static, _ = FluxTransformer(cfg_ws).apply(
+        {"params": params_w}, lat, txt, pooled, t, g, init_flux_cache(),
+        mask, (4, 4),
+    )
+    scale = float(jnp.abs(out_dyn).max())
+    err = float(jnp.abs(out_static - out_dyn).max()) / scale
+    assert err < 0.05, err
