@@ -17,9 +17,17 @@ that claim for OUR on-TPU search with the trajectory-fidelity objective:
 4. reports per-family dominance at equal MACs and hypervolume in
    (−fidelity_dB, macs_T) space, plus a plot-data JSON.
 
+Both model families are supported (--model-family): `pixart` rebuilds
+the full-size PixArt-alpha 256 evaluator; `flux` rebuilds the FLUX search's
+evaluator (width-reduced dim-1536, all 57 blocks, the real 3420-gene
+genome, 4 prompts, seed 0 -- exactly train.py's --flux-dim 1536 path) and
+compares against the FLUX heuristic families
+(reference flux_schedule_generators.py:15-373) plus the paper's
+flux_256 ours_fast/ours_faster points.
+
 Usage:
   python scripts/bench_search_quality.py --run-dir search_runs/fidelity_pixart256 \
-      [--out search_runs/fidelity_pixart256/search_quality.json]
+      [--model-family pixart] [--out .../search_quality.json]
 """
 
 from __future__ import annotations
@@ -37,30 +45,84 @@ import bench  # noqa: E402  (repo-root: compile-cache env)
 import numpy as np  # noqa: E402
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
-PAPER_DIR = REPO / "schedules/schedules_in_paper/pixart_alpha_256"
 
-NUM_BLOCKS = 28
 STEPS = 20
-NUM_PROMPTS = 16
 SEED = 0
 
-HEURISTIC_FAMILIES = (
-    "gen_recompute_all_every_n",  # FORA-style
-    "gen_recompute_ca_sa_every_n",
-    "gen_tgate",
-    "gen_evenly_cache_ca_evenly_spaced",
-    "gen_evenly_cache_sa_evenly_spaced",
-    "gen_evenly_cache_ff_evenly_spaced",
-)
+FAMILY = {
+    "pixart": dict(
+        num_blocks=28,
+        num_prompts=16,
+        paper_dir="schedules_in_paper/pixart_alpha_256",
+        paper_names=("ours_fast", "ours_faster", "ours_fastest"),
+        heuristics=(
+            "gen_recompute_all_every_n",  # FORA-style
+            "gen_recompute_ca_sa_every_n",
+            "gen_tgate",
+            "gen_evenly_cache_ca_evenly_spaced",
+            "gen_evenly_cache_sa_evenly_spaced",
+            "gen_evenly_cache_ff_evenly_spaced",
+        ),
+    ),
+    "flux": dict(
+        num_blocks=19,
+        num_single_blocks=38,
+        num_prompts=4,  # the search ran --num-prompts 4
+        paper_dir="schedules_in_paper/flux_256",
+        paper_names=("ours_fast", "ours_faster"),
+        heuristics=(
+            "gen_recompute_all_every_n",  # FORA-style
+            "gen_recompute_attn_every_n",
+            "gen_evenly_cache_mlp_ff_evenly_spaced",
+            "gen_evenly_cache_single_full_attn_evenly_spaced",
+        ),
+    ),
+}
 
 
-def build_evaluator():
+def build_evaluator(family: str):
     """The search's evaluator, bit-identically (train.py build_evaluator
-    with the run's flags: full-size model, seed 0, 16 prompts, dynamic)."""
+    with the run's flags: full-size PixArt / dim-1536 FLUX, seed 0,
+    dynamic mode)."""
     import jax
-    import jax.numpy as jnp
 
     from ecad_tpu.genetic import CandidateEvaluator, EvalConfig
+
+    fam = FAMILY[family]
+    n_prompts = fam["num_prompts"]
+    cfg = EvalConfig(scorer="fidelity", mode="dynamic", return_images=False)
+    if family == "flux":
+        from ecad_tpu.genetic.evaluate import FluxCandidateEvaluator
+        from ecad_tpu.models.common import random_serving_params
+        from ecad_tpu.models.flux import FluxConfig, init_flux_params
+        from ecad_tpu.pipelines.flux_pipeline import (
+            FluxPipeline,
+            FluxPipelineConfig,
+        )
+
+        config = FluxConfig(dim=1536, num_heads=12)
+        params = random_serving_params(
+            jax.eval_shape(lambda: init_flux_params(config, SEED)[1]),
+            seed=SEED,
+            dtype=config.dtype,
+        )
+        pipe = FluxPipeline(
+            FluxPipelineConfig(
+                model=config, num_inference_steps=STEPS,
+                height=256, width=256,
+            ),
+            params,
+        )
+        k1, k2 = jax.random.split(jax.random.PRNGKey(SEED))
+        text = jax.random.normal(
+            k1, (n_prompts, config.text_len, config.joint_dim)
+        ).astype(config.dtype)
+        pooled = jax.random.normal(k2, (n_prompts, config.pooled_dim)).astype(
+            config.dtype
+        )
+        prompts = [f"prompt_{i}" for i in range(n_prompts)]
+        return FluxCandidateEvaluator(pipe, text, pooled, prompts, cfg)
+
     from ecad_tpu.models import PixArtConfig, init_params
     from ecad_tpu.models.common import serving_cast
     from ecad_tpu.pipelines import PixArtPipeline, PixArtPipelineConfig
@@ -74,13 +136,12 @@ def build_evaluator():
     pipe.params = serving_cast(pipe.params, config.dtype)
     k1, k2 = jax.random.split(jax.random.PRNGKey(SEED))
     text = jax.random.normal(
-        k1, (NUM_PROMPTS, config.text_len, config.caption_dim)
+        k1, (n_prompts, config.text_len, config.caption_dim)
     ).astype(config.dtype)
     neg = jax.random.normal(
-        k2, (NUM_PROMPTS, config.text_len, config.caption_dim)
+        k2, (n_prompts, config.text_len, config.caption_dim)
     ).astype(config.dtype)
-    prompts = [f"prompt_{i}" for i in range(NUM_PROMPTS)]
-    cfg = EvalConfig(scorer="fidelity", mode="dynamic", return_images=False)
+    prompts = [f"prompt_{i}" for i in range(n_prompts)]
     return CandidateEvaluator(pipe, text, neg, prompts, cfg)
 
 
@@ -103,32 +164,48 @@ def eval_point(ev, schedule, name: str, family: str) -> dict:
     }
 
 
-def heuristic_points(ev) -> list[dict]:
-    import ecad_tpu.schedules.generators.pixart_cache as G
+def heuristic_points(ev, family: str) -> list[dict]:
+    fam = FAMILY[family]
+    if family == "flux":
+        import ecad_tpu.schedules.generators.flux_cache as G
 
+        gen_args = (fam["num_blocks"], fam["num_single_blocks"], STEPS)
+    else:
+        import ecad_tpu.schedules.generators.pixart_cache as G
+
+        gen_args = (fam["num_blocks"], STEPS)
     points = []
-    for fam in HEURISTIC_FAMILIES:
-        for sched in getattr(G, fam)(NUM_BLOCKS, STEPS):
-            points.append(eval_point(ev, sched, sched.name, fam))
+    for name in fam["heuristics"]:
+        for sched in getattr(G, name)(*gen_args):
+            points.append(eval_point(ev, sched, sched.name, name))
             print(json.dumps(points[-1]), flush=True)
     return points
 
 
-def paper_points(ev) -> list[dict]:
-    from ecad_tpu.schedules import PixArtCacheSchedule
+def paper_points(ev, family: str) -> list[dict]:
+    from ecad_tpu.schedules import FluxCacheSchedule, PixArtCacheSchedule
 
+    fam = FAMILY[family]
+    cls = FluxCacheSchedule if family == "flux" else PixArtCacheSchedule
+    paper_dir = REPO / "schedules" / fam["paper_dir"]
     points = []
-    for name in ("ours_fast", "ours_faster", "ours_fastest"):
-        sched = PixArtCacheSchedule.from_json(PAPER_DIR / f"{name}.json")
+    for name in fam["paper_names"]:
+        sched = cls.from_json(paper_dir / f"{name}.json")
         points.append(eval_point(ev, sched, name, "paper_evolved_reference"))
         print(json.dumps(points[-1]), flush=True)
     return points
 
 
-def evolved_front_points(ev, run_dir: pathlib.Path) -> tuple[list[dict], int]:
+def evolved_front_points(
+    ev, run_dir: pathlib.Path, family: str
+) -> tuple[list[dict], int]:
     """Load the run's final algorithm state, take the non-dominated set,
     and RE-evaluate it with this evaluator."""
-    from ecad_tpu.genetic import PixArtPopulationIOManager, NSGA2
+    from ecad_tpu.genetic import (
+        FluxPopulationIOManager,
+        NSGA2,
+        PixArtPopulationIOManager,
+    )
     from ecad_tpu.genetic.nsga2 import fast_non_dominated_sort
 
     pops = run_dir / "populations"
@@ -139,7 +216,11 @@ def evolved_front_points(ev, run_dir: pathlib.Path) -> tuple[list[dict], int]:
     ckpt = gens[-1]
     gen_num = int(ckpt.parent.name.split("_")[1])
     algo = NSGA2.load(ckpt)
-    mgr = PixArtPopulationIOManager(
+    mgr_cls = (
+        FluxPopulationIOManager if family == "flux"
+        else PixArtPopulationIOManager
+    )
+    mgr = mgr_cls(
         names[0],
         all_populations_dir=pops,
         all_benchmarks_dir=run_dir / "benchmarks",
@@ -205,14 +286,17 @@ def hypervolumes(evolved, heuristics) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--run-dir", type=pathlib.Path, required=True)
+    ap.add_argument("--model-family", choices=sorted(FAMILY),
+                    default="pixart")
     ap.add_argument("--out", type=pathlib.Path, default=None)
     ap.add_argument("--skip-heuristics", action="store_true",
                     help="reuse heuristic points from an existing --out file")
     args = ap.parse_args()
     out_path = args.out or (args.run_dir / "search_quality.json")
 
-    ev = build_evaluator()
-    evolved, gen_num = evolved_front_points(ev, args.run_dir)
+    ev = build_evaluator(args.model_family)
+    evolved, gen_num = evolved_front_points(ev, args.run_dir,
+                                            args.model_family)
     if args.skip_heuristics and out_path.exists():
         prev = json.loads(out_path.read_text())
         heur = [p for p in prev["points"] if p["family"] != "evolved"
@@ -220,8 +304,8 @@ def main() -> None:
         paper = [p for p in prev["points"]
                  if p["family"] == "paper_evolved_reference"]
     else:
-        heur = heuristic_points(ev)
-        paper = paper_points(ev)
+        heur = heuristic_points(ev, args.model_family)
+        paper = paper_points(ev, args.model_family)
 
     stats = {
         "final_generation": gen_num,
@@ -236,7 +320,7 @@ def main() -> None:
 
     dom = stats["dominance_at_equal_macs"]
     summary = {
-        "metric": "search_quality_dominance_pct",
+        "metric": f"search_quality_dominance_pct_{args.model_family}",
         "value": round(
             100.0
             * sum(f["dominated"] for k, f in dom.items()
