@@ -308,7 +308,11 @@ def compute_schedule_metrics(
     }
 
 
-def _sdpa_macs_per_sample(schedule: CacheSchedule) -> Mapping[str, int]:
+def _sdpa_macs_per_sample(
+    schedule: CacheSchedule,
+    dim: int | None = None,
+    hw: tuple[int, int] | None = None,
+) -> Mapping[str, int]:
     """Per-sample MACs of the SDPA matmuls (q·kᵀ and p·v) per component.
 
     These are deliberately EXCLUDED from the schedule metrics above —
@@ -316,17 +320,21 @@ def _sdpa_macs_per_sample(schedule: CacheSchedule) -> Mapping[str, int]:
     calflops' module hooks never see torch SDPA (compute_macs.py:279-286)
     — but they are real MXU work, so MFU/pct-of-peak reporting must count
     them. A cached attention component skips its SDPA too, so these follow
-    the same schedule mask."""
+    the same schedule mask. `dim` overrides the full-width model dim for
+    width-reduced serving variants (e.g. FLUX dim 1536); `hw` overrides
+    the schedule config's resolution for transfer serving (a 256-evolved
+    schedule RUN at 1024² must count 1024² SDPA)."""
     cfg = schedule.top_level_config or {}
-    h = cfg.get("height", 256)
-    w = cfg.get("width", 256)
+    h, w = hw if hw is not None else (
+        cfg.get("height", 256), cfg.get("width", 256)
+    )
     if isinstance(schedule, FluxCacheSchedule):
-        d = 3072
+        d = dim or 3072
         T_img = (h // 8 // 2) * (w // 8 // 2)
         S = T_img + 512
         return {"full_attn": 2 * S * S * d, "single_attn": 2 * S * S * d}
     if isinstance(schedule, PixArtCacheSchedule):
-        d = 1152
+        d = dim or 1152
         weights = cfg.get("transformer_weights", "")
         if "1024" in weights or h >= 1024:
             h = w = 1024
@@ -337,18 +345,25 @@ def _sdpa_macs_per_sample(schedule: CacheSchedule) -> Mapping[str, int]:
 
 
 def hardware_flops_per_image(
-    schedule: CacheSchedule, table: CostTable | None = None
+    schedule: CacheSchedule,
+    table: CostTable | None = None,
+    dim: int | None = None,
+    hw: tuple[int, int] | None = None,
 ) -> int:
     """Total device FLOPs to denoise ONE image under `schedule`: the
     calflops-parity total_flops PLUS the SDPA matmul FLOPs the reference's
     profiler never counts (module hooks don't see torch SDPA). CFG batch
     and the TGATE half-batch rule follow compute_schedule_metrics. This is
     the numerator for the bench ladder's tflops_per_sec / pct_peak rows
-    (VAE decode accounted separately via vae_decoder_flops)."""
+    (VAE decode accounted separately via vae_decoder_flops). For serving
+    variants that differ from the reference cost model — width-reduced
+    FLUX, or FLUX's real batch-1 no-CFG serving vs the reference's
+    batch-2 calflops convention — pass an explicit `table` (e.g.
+    flux_cost_table(batch=1, dim=1536)) and matching `dim`."""
     if table is None:
         table = table_for_schedule(schedule)
     base = compute_schedule_metrics(schedule, table)["total_flops"]
-    sdpa = _sdpa_macs_per_sample(schedule)
+    sdpa = _sdpa_macs_per_sample(schedule, dim, hw)
     slot_sdpa_b1 = np.array(
         [sdpa.get(c, 0) for _, c in schedule.slot_names()], dtype=np.int64
     )

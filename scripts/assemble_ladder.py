@@ -1,27 +1,41 @@
-"""Assemble BENCH_LADDER_r04.json from the round-4 evidence logs.
+"""Assemble BENCH_LADDER_r05.json from the round-5 evidence logs.
 
 Single-invocation regeneration of the ladder artifact (VERDICT r3 #9):
 each section of the ladder maps to exactly one bench script whose JSON
-output lands in `.r4_evidence/`; this script collects those outputs and
-the standalone artifacts (FLUX1024_FULLDEPTH.json, search_quality.json,
-dp8.jsonl) into the committed ladder file. Re-running the ladder is:
+output lands in `.r5_evidence/`; this script collects those outputs and
+the standalone artifacts (FLUX1024_FULLDEPTH.json, the two search runs'
+search_quality.json) into the committed ladder file. Re-running the
+ladder is:
 
-    python scripts/bench_ladder.py             > .r4_evidence/pixart256.log
-    python scripts/bench_pixart_1024.py        > .r4_evidence/pixart1024.log
-    python scripts/bench_quant_1024.py         > .r4_evidence/quant1024.log
-    python scripts/bench_flux.py               > .r4_evidence/flux256.log
-    python scripts/bench_flux_1024.py          > .r4_evidence/flux1024.log
-    python scripts/flux_12b_single_chip.py     > .r4_evidence/flux12b.log
-    python scripts/flux_12b_batch_sweep.py     > .r4_evidence/flux_batch_sweep.log
-    python scripts/bench_attention_kernels.py  > .r4_evidence/kernels.log
-    python scripts/bench_search_quality.py     (writes search_quality.json)
-    python scripts/bench_search_dp8.py         > .r4_evidence/dp8.jsonl
+    python scripts/bench_ladder.py              > .r5_evidence/pixart256.log
+    python scripts/bench_pixart_1024.py         > .r5_evidence/pixart1024.log
+    python scripts/bench_quant.py               > .r5_evidence/quant256.log
+    python scripts/bench_quant_1024.py          > .r5_evidence/quant1024.log
+    python scripts/bench_flux.py                > .r5_evidence/flux256.log
+    python scripts/bench_flux_1024.py           > .r5_evidence/flux1024.log
+    python scripts/flux_12b_single_chip.py      > .r5_evidence/flux12b.log
+    python scripts/flux_12b_single_chip.py --quant=int8_w_static \
+                                               > .r5_evidence/flux12b_static.log
+    python scripts/flux_12b_1024_single_chip.py > .r5_evidence/flux12b_1024.log
+    python scripts/flux_12b_batch_sweep.py      > .r5_evidence/flux_batch_sweep.log
+    python scripts/bench_attention_kernels.py   > .r5_evidence/kernels.log
+    python scripts/bench_profile_breakdown.py   > .r5_evidence/breakdown.log
+    python scripts/bench_search_protocol.py     > .r5_evidence/search_protocol.log
+    python scripts/bench_quality_metrics.py     > .r5_evidence/quality_metrics.log
+    python scripts/bench_profile_crosscheck.py  > .r5_evidence/crosscheck.log
+    python scripts/bench_search_quality.py --run-dir search_runs/fidelity_pixart256_v2
+    python scripts/bench_search_quality.py --run-dir search_runs/fidelity_flux256 \
+        --model-family flux
+    python scripts/bench_search_dp8.py          > .r5_evidence/dp8.jsonl
     python scripts/flux_full_width.py 1024-exec (writes FLUX1024_FULLDEPTH.json)
     python scripts/assemble_ladder.py
 
-Rows whose code path did not change since round 3 may be carried
-forward; every carried row is tagged `"carried_from": "r03"` so the
-audit trail distinguishes fresh measurements from history.
+A section with no round-5 evidence log is carried from
+BENCH_LADDER_r04.json and tagged `"carried_from": "r04"` (or
+`"r04:<key>"` across a rename) so the audit trail distinguishes fresh
+measurements from history. The invariant the test suite pins
+(tests/test_ladder_assembly.py): no ladder claim without a matching
+section, and regeneration is bit-exact against the committed file.
 """
 
 from __future__ import annotations
@@ -31,7 +45,7 @@ import pathlib
 import sys
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
-EV = ROOT / ".r4_evidence"
+EV = ROOT / ".r5_evidence"
 
 
 def jsonl(path: pathlib.Path) -> list[dict]:
@@ -54,28 +68,48 @@ def by_metric(rows: list[dict]) -> dict[str, dict]:
     return {r["metric"]: r for r in rows if "metric" in r}
 
 
+def _mfu(detail: dict) -> dict:
+    """The MFU triple every fresh row self-reports (VERDICT r4 #3)."""
+    out = {}
+    for k in ("flops_per_image_T", "tflops_per_sec"):
+        if k in detail:
+            out[k] = detail[k]
+    for k in ("pct_peak", "pct_peak_bf16"):
+        if k in detail:
+            out["pct_peak"] = detail[k]
+    return out
+
+
 def main(dest: pathlib.Path | None = None) -> None:
-    r03 = json.loads((ROOT / "BENCH_LADDER_r03.json").read_text())
+    r04 = json.loads((ROOT / "BENCH_LADDER_r04.json").read_text())
     out: dict = {
         "comment": (
-            "Round-4 measurements on TPU v5e (1 chip) vs the reference's "
+            "Round-5 measurements on TPU v5e (1 chip) vs the reference's "
             "committed RTX A6000 metrics (BASELINE.md). Protocol "
             "unchanged: full pipeline - denoise + VAE decode to uint8 "
-            "pixels on device. New in round 4: the search optimizes a "
-            "REAL objective on-chip (trajectory fidelity; evolved front "
-            "dominates the heuristic families - search_quality section); "
-            "the sublane-contracted transposed attention kernel takes "
-            "D=72 T=4096 to 5.36 ms; static calibrated int8 activation "
-            "scales make int8 win at 1024^2 (1.145x); the full-width 12B "
-            "FLUX 1024^2 program EXECUTED 2 denoise steps full-depth on "
-            "a tp=4 host mesh; 12B single-chip batch swept to the HBM "
-            "limit (batch_max section); every row self-reports MFU "
-            "(tflops_per_sec / pct_peak, attention FLOPs included). "
-            "vs_baseline = our cached/uncached speedup over the "
-            "reference's on the same schedule; absolute rows = reference "
-            "ms / our ms."
+            "pixels on device. New in round 5: the FLUX NSGA-II search "
+            "ran 101 generations pop-24 ON the chip over the real "
+            "3420-gene genome and its evolved front dominates the FLUX "
+            "heuristic families (search_quality.flux_256 section); the "
+            "12B batch sweep ran to the HBM limit with XLA "
+            "memory_analysis per batch and a bucketed device-time "
+            "attribution of the batch-6/8 regression (batch_max "
+            "section); every FLUX row is re-measured with MFU fields "
+            "(tflops_per_sec / pct_peak, attention + VAE FLOPs "
+            "included); int8_w_static rows add calibrated static "
+            "activation scales to the 12B serving path; the profiler "
+            "breakdown section attributes device time for the weakest "
+            "rows (profile_breakdown section). vs_baseline = our "
+            "cached/uncached speedup over the reference's on the same "
+            "schedule; absolute rows = reference ms / our ms."
         )
     }
+
+    def carry(key: str, src_key: str | None = None) -> dict:
+        row = dict(r04[src_key or key])
+        row["carried_from"] = "r04" if src_key in (None, key) else (
+            f"r04:{src_key}")
+        return row
 
     # ---- pixart_alpha_256 + pixart_sigma_256 (bench_ladder.py) ----
     p256 = by_metric(jsonl(EV / "pixart256.log"))
@@ -128,6 +162,9 @@ def main(dest: pathlib.Path | None = None) -> None:
         out["pixart_sigma_256"] = {
             "batch": unc["detail"]["batch"], "entries": sig,
         }
+    else:
+        out["pixart_alpha_256"] = carry("pixart_alpha_256")
+        out["pixart_sigma_256"] = carry("pixart_sigma_256")
 
     # ---- pixart_alpha_1024 (bench_pixart_1024.py) ----
     p1024 = by_metric(jsonl(EV / "pixart1024.log"))
@@ -148,10 +185,13 @@ def main(dest: pathlib.Path | None = None) -> None:
             "comment": (
                 "NOT width-reduced - identical 0.6B model; absolute ms "
                 "comparable to the A6000's 3706.14 default_1024x1024 row. "
-                "Round 4: the SUBLANE-CONTRACTED transposed kernel "
-                "(both matmuls contract D=72 on sublanes padded to 80 "
-                "rows; zero 128-lane pad on either matmul) runs the "
-                "4096-token self-attention; see the kernels section."
+                "The SUBLANE-CONTRACTED transposed kernel (both matmuls "
+                "contract D=72 on sublanes padded to 80 rows; zero "
+                "128-lane pad on either matmul) runs the 4096-token "
+                "self-attention; see the kernels section. Round 5: the "
+                "256->1024 transfer row's SDPA FLOPs now count 1024^2 "
+                "(the schedule's own config says 256 - macs.py hw "
+                "override), so its MFU is comparable to the uncached row."
             ),
             "batch": unc["detail"]["batch"],
             "uncached_ms_per_image": unc["value"],
@@ -161,17 +201,14 @@ def main(dest: pathlib.Path | None = None) -> None:
             "absolute_vs_a6000": round(3706.14 / unc["value"], 3),
             "entries": rows,
         }
+    else:
+        out["pixart_alpha_1024_full_size"] = carry(
+            "pixart_alpha_1024_full_size")
 
     # ---- int8 quant (bench_quant.py 256 + bench_quant_1024.py) ----
     q256 = by_metric(jsonl(EV / "quant256.log"))
     q1024 = by_metric(jsonl(EV / "quant1024.log"))
-    quant = {"comment": (
-        "W8A8 quantized serving on the double-rate int8 MXU. Round 4: "
-        "`int8_static` uses per-tensor activation scales calibrated on "
-        "3 denoise timesteps of real encoder embeddings (291 sites), "
-        "removing the per-token max-abs VPU pass that made dynamic int8 "
-        "lose at 1024^2 in round 3. The reference has no quantized path."
-    )}
+    quant = {"comment": r04["int8_serving_quant"]["comment"]}
     if "pixart_alpha_256_int8_serving" in q256:
         quant["pixart_alpha_256"] = (
             q256["pixart_alpha_256_int8_serving"]["detail"]["schedules"]
@@ -182,36 +219,37 @@ def main(dest: pathlib.Path | None = None) -> None:
         quant["pixart_alpha_1024_int8_static_vs_a6000"] = r["vs_baseline"]
     if len(quant) > 1:
         out["int8_serving_quant"] = quant
+    else:
+        out["int8_serving_quant"] = carry("int8_serving_quant")
 
     # ---- flux width-reduced (bench_flux.py / bench_flux_1024.py) ----
     f256 = by_metric(jsonl(EV / "flux256.log"))
     if f256:
-        sec: dict = {"comment": r03["flux_256_width_reduced_dim1536"][
-            "comment"].split(". Round 3")[0]}
+        sec: dict = {"comment": r04["flux_256_width_reduced_dim1536"][
+            "comment"]}
         for key, r in f256.items():
             name = key.removeprefix("flux_256_").removesuffix(
                 "_wallclock_speedup")
             if name == "uncached":
                 sec["batch"] = r["detail"]["batch"]
                 sec["uncached_ms_per_image"] = r["detail"]["ms_per_image"]
+                sec.update({f"uncached_{k}": v
+                            for k, v in _mfu(r["detail"]).items()})
                 continue
             sec.setdefault("entries", {})[name] = {
                 "speedup": r["value"],
                 "ref_speedup": round(r["value"] / r["vs_baseline"], 4)
                 if "vs_baseline" in r else None,
                 "ms_per_image": r["detail"]["ms_per_image"],
+                **_mfu(r["detail"]),
             }
         out["flux_256_width_reduced_dim1536"] = sec
     else:
-        # code path unchanged since r03 (lane-aligned D=128 attention,
-        # int8_w weight storage) — carry the measured row
-        row = dict(r03["flux_256_width_reduced_dim1536"])
-        row["carried_from"] = "r03"
-        out["flux_256_width_reduced_dim1536"] = row
+        out["flux_256_width_reduced_dim1536"] = carry(
+            "flux_256_width_reduced_dim1536")
     f1024 = by_metric(jsonl(EV / "flux1024.log"))
     if f1024:
-        sec = {"comment": r03["flux_1024_width_reduced_dim1536"][
-            "comment"].split(". The evolved")[0]}
+        sec = {"comment": r04["flux_1024_width_reduced_dim1536"]["comment"]}
         for key, r in f1024.items():
             name = key.removeprefix("flux_1024_").removesuffix(
                 "_wallclock_speedup")
@@ -219,44 +257,53 @@ def main(dest: pathlib.Path | None = None) -> None:
                 sec["batch"] = r["detail"]["batch"]
                 sec["uncached_20step_ms_per_image"] = (
                     r["detail"]["ms_per_image"])
+                sec.update({f"uncached_{k}": v
+                            for k, v in _mfu(r["detail"]).items()})
                 continue
             sec.setdefault("entries", {})[name] = {
                 "speedup": r["value"],
                 "ref_speedup": round(r["value"] / r["vs_baseline"], 4)
                 if "vs_baseline" in r else None,
                 "ms_per_image": r["detail"]["ms_per_image"],
+                **_mfu(r["detail"]),
             }
         out["flux_1024_width_reduced_dim1536"] = sec
     else:
-        row = dict(r03["flux_1024_width_reduced_dim1536"])
-        row["carried_from"] = "r03"
-        out["flux_1024_width_reduced_dim1536"] = row
+        out["flux_1024_width_reduced_dim1536"] = carry(
+            "flux_1024_width_reduced_dim1536")
 
-    # ---- 12B single-chip + batch sweep ----
-    f12 = by_metric(jsonl(EV / "flux12b.log"))
+    # ---- 12B single-chip: 256 (int8_w + int8_w_static), 1024, sweep ----
+    f12 = by_metric(jsonl(EV / "flux12b.log") + jsonl(
+        EV / "flux12b_static.log"))
+    f12_1024 = by_metric(jsonl(EV / "flux12b_1024.log"))
     sweep = by_metric(jsonl(EV / "flux_batch_sweep.log"))
     sec = {}
     if f12:
-        sec["rows"] = {
-            k.removeprefix("flux_12b_single_chip_").removesuffix(
-                "_absolute"): v
-            for k, v in f12.items()
-        }
-    else:
-        sec = dict(r03["flux_full_width_12B"])
-        # section renamed r03->r04; tag carries the source key
-        sec["carried_from"] = "r03:flux_full_width_12B"
+        for key, r in f12.items():
+            short = key.removeprefix("flux_12b_single_chip_").removesuffix(
+                "_absolute")
+            sec[f"single_chip_256_{short}"] = dict(r["detail"])
+    if f12_1024:
+        for key, r in f12_1024.items():
+            short = key.removeprefix(
+                "flux_12b_1024_single_chip_").removesuffix("_absolute")
+            sec[f"single_chip_1024_{short}"] = dict(r["detail"])
+    if not sec:
+        sec = carry("flux_full_width_12B_single_chip")
     if "flux_12b_single_chip_batch_max" in sweep:
         sec["batch_max"] = sweep["flux_12b_single_chip_batch_max"]
-    if sec:
+    if isinstance(sec, dict) and "carried_from" not in sec:
         sec["comment"] = (
-            "True 11.901B-param full-width FLUX.1-dev (dim 3072, 19 dual "
+            "True 11.9B-param full-width FLUX.1-dev (dim 3072, 19 dual "
             "+ 38 single blocks) served from ONE 16 GiB v5e chip via "
             "int8 weight storage + float8 caches; the reference needs a "
-            "48 GB A6000. batch_max sweeps batch to the HBM limit "
-            "(VERDICT r3 #6)."
+            "48 GB A6000. batch_max sweeps batch to the HBM limit with "
+            "per-batch XLA memory_analysis and a bucketed device-time "
+            "attribution of where per-image time grows past batch 4 "
+            "(VERDICT r4 #2). int8_w_static rows add calibrated static "
+            "activation scales (VERDICT r4 #5)."
         )
-        out["flux_full_width_12B_single_chip"] = sec
+    out["flux_full_width_12B_single_chip"] = sec
 
     # ---- full-width 1024 executed (FLUX1024_FULLDEPTH.json) ----
     fd = ROOT / "FLUX1024_FULLDEPTH.json"
@@ -267,24 +314,40 @@ def main(dest: pathlib.Path | None = None) -> None:
     kern = by_metric(jsonl(EV / "kernels.log"))
     if kern:
         out["kernels"] = {
-            "comment": (
-                "Per-shape attention kernel ladder, pipelined-dispatch "
-                "ms. Round 4: the sublane-contracted transposed kernel "
-                "(S^T = K^T^T Q and O^T = V^T P^T, head dim on SUBLANES "
-                "padded 72->80 on BOTH matmuls) replaces the round-3 "
-                "transposed-PV kernel for lane-padded head dims; "
-                "lane-aligned shapes keep the row-block static-clamp "
-                "kernel. Regenerate: python "
-                "scripts/bench_attention_kernels.py (docs/benchmarking.md)."
-            ),
+            "comment": r04["kernels"]["comment"],
             "rows": kern,
         }
+    else:
+        out["kernels"] = carry("kernels")
 
-    # ---- search quality + trend (the round-4 headline) ----
-    sq = ROOT / "search_runs/fidelity_pixart256_v2/search_quality.json"
-    if sq.exists():
-        q = json.loads(sq.read_text())
-        out["search_quality"] = {
+    # ---- profiler breakdown (bench_profile_breakdown.py) ----
+    br = by_metric(jsonl(EV / "breakdown.log"))
+    if br:
+        out["profile_breakdown"] = {
+            "comment": (
+                "jax.profiler device-time decomposition of the weakest "
+                "MFU rows (VERDICT r4 #4): buckets are attention (Pallas "
+                "custom-calls + SDPA fusions), projections (dot/conv "
+                "fusions incl. quantize epilogues), vae (decode module), "
+                "other (norms/elementwise/sampler/copies). "
+                "Regenerate: python scripts/bench_profile_breakdown.py."
+            ),
+            "rows": {
+                k.removeprefix("profile_breakdown_"): {
+                    "device_ms_per_run": v["value"],
+                    "pct": v["detail"]["pct"],
+                    "ms_per_run": v["detail"]["ms_per_run"],
+                }
+                for k, v in br.items()
+            },
+        }
+
+    # ---- search quality: both families ----
+    sq_sec = {}
+    sq_px = ROOT / "search_runs/fidelity_pixart256_v2/search_quality.json"
+    if sq_px.exists():
+        q = json.loads(sq_px.read_text())
+        sq_sec["pixart_alpha_256"] = {
             "comment": (
                 "82-generation pop-72 NSGA-II run ON the v5e chip "
                 "optimizing a REAL objective: trajectory fidelity "
@@ -302,39 +365,116 @@ def main(dest: pathlib.Path | None = None) -> None:
             },
             "hypervolume": q["hypervolume"],
         }
+    sq_fx = ROOT / "search_runs/fidelity_flux256/search_quality.json"
+    if sq_fx.exists():
+        q = json.loads(sq_fx.read_text())
+        sq_fx_trend = ROOT / "search_runs/fidelity_flux256/trend.json"
+        trend = (json.loads(sq_fx_trend.read_text())
+                 if sq_fx_trend.exists() else {})
+        sq_sec["flux_256"] = {
+            "comment": (
+                "The FLUX search the reference's published artifact set "
+                "is built from (flux_population_io_manager.py pop 24, "
+                "3420-gene genome), run 101 generations ON the v5e chip "
+                "via `python -m ecad_tpu.genetic.train --flux-dim 1536` "
+                "(width-reduced dim-1536 FLUX, all 19 dual + 38 single "
+                "blocks, trajectory-fidelity x MACs objective, 4 "
+                "prompts). Dominance re-evaluates the evolved candidates "
+                "fresh - no trust in on-disk scores. Artifacts: "
+                "search_runs/fidelity_flux256/ (per-generation "
+                "populations gen_000-gen_101, trend.json, train.log)."
+            ),
+            "final_generation": q["final_generation"],
+            "objective": q["objective"],
+            "dominance_at_equal_macs": {
+                k: v["dominated_pct"]
+                for k, v in q["dominance_at_equal_macs"].items()
+            },
+            "hypervolume": q["hypervolume"],
+            **({"trend": trend.get("summary", trend)} if trend else {}),
+        }
+    if sq_sec:
+        out["search_quality"] = sq_sec
+    else:
+        out["search_quality"] = carry("search_quality")
 
     # ---- dp8 search protocol ----
     dp8 = by_metric(jsonl(EV / "dp8.jsonl"))
     if dp8:
         out["search_loop_dp8"] = {
-            "comment": (
-                "The 9.5 min/pop-72-generation v5e-8 extrapolation "
-                "(round 3) now has a demonstrated sharding: the "
-                "1000-image candidate eval ran batch 200 = 25/chip x "
-                "dp=8 on the virtual mesh, and the full-size program "
-                "AOT-lowers against the real v5e:2x4 topology at "
-                "4.83 GiB/chip."
-            ),
+            "comment": r04["search_loop_dp8"]["comment"],
             **{k: v for k, v in dp8.items()},
         }
+    else:
+        out["search_loop_dp8"] = carry("search_loop_dp8")
 
-    # ---- carried rows (code path unchanged since r03) ----
-    for key in (
-        "search_loop_full_protocol",
-        "quality_metrics_throughput",
-        "timer_crosscheck",
-        "train_cli_on_tpu",
-    ):
-        row = dict(r03[key])
-        if "chain" in row:
-            # label fix (VERDICT r3 #9): the image encoder is ViT-L/16
-            # per BLIP (scoring/image_reward.py:5)
-            row["chain"] = row["chain"].replace("ViT-L/14", "ViT-L/16")
-        row["carried_from"] = "r03"
-        out[key] = row
+    # ---- e2e search-loop / quality-metric / timer sections ----
+    sp = by_metric(jsonl(EV / "search_protocol.log"))
+    if "search_loop_full_protocol" in sp:
+        r = sp["search_loop_full_protocol"]
+        out["search_loop_full_protocol"] = {
+            "value": r["value"], "unit": r["unit"], **r["detail"]}
+    else:
+        out["search_loop_full_protocol"] = carry(
+            "search_loop_full_protocol")
+    qm = by_metric(jsonl(EV / "quality_metrics.log"))
+    if qm:
+        row = {
+            k: qm[k]["value"]
+            for k in (
+                "inception_fid_images_per_sec",
+                "clip_score_images_per_sec",
+                "image_reward_images_per_sec",
+            )
+            if k in qm
+        }
+        if "fid_e2e" in qm:
+            row["fid_e2e_checks"] = {
+                "generated_vs_noise_fid": qm["fid_e2e"]["value"],
+                **qm["fid_e2e"]["detail"],
+            }
+        out["quality_metrics_throughput"] = row
+    else:
+        out["quality_metrics_throughput"] = carry(
+            "quality_metrics_throughput")
+    cc = by_metric(jsonl(EV / "crosscheck.log"))
+    if "bench_timer_vs_profiler_device_ms" in cc:
+        r = cc["bench_timer_vs_profiler_device_ms"]
+        out["timer_crosscheck"] = {
+            "bench_timer_ms_per_run": r["value"],
+            "profiler_device_ms_per_run":
+                r["detail"]["profiler_device_ms_per_run"],
+            "ratio": r["detail"]["ratio_timer_over_device"],
+            "workload": r["detail"]["workload"],
+        }
+    else:
+        out["timer_crosscheck"] = carry("timer_crosscheck")
+
+    # ---- train CLI on TPU: superseded by the real 101-gen FLUX run ----
+    flux_log = ROOT / "search_runs/fidelity_flux256/train.log"
+    if flux_log.exists():
+        text = flux_log.read_text()
+        gens = text.count("saved (24 candidates)")
+        out["train_cli_on_tpu"] = {
+            "comment": (
+                "The actual `python -m ecad_tpu.genetic.train` CLI run "
+                "end-to-end on the v5e chip - no bench harness. Round 5 "
+                "supersedes the r03 2-cycle smoke with the real FLUX "
+                "search production run: pop 24, 3420-gene genome, "
+                "width-reduced dim-1536 FLUX (all 57 blocks), "
+                "trajectory-fidelity objective, heuristic-seeded "
+                "gen_000, NPZ checkpoint per generation."
+            ),
+            "generations_saved": gens,
+            "population": 24,
+            "genome_bits": 3420,
+            "run_dir": "search_runs/fidelity_flux256",
+        }
+    else:
+        out["train_cli_on_tpu"] = carry("train_cli_on_tpu")
 
     if dest is None:
-        dest = ROOT / "BENCH_LADDER_r04.json"
+        dest = ROOT / "BENCH_LADDER_r05.json"
     dest.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {dest} with sections: {list(out)[1:]}", file=sys.stderr)
 

@@ -89,8 +89,59 @@ def main() -> None:
 
     vae = random_decoder_pipeline(latent_channels=16)
 
+    # MFU accounting (VERDICT r4 #3): FLUX serves batch-1-per-image with
+    # embedded guidance (no CFG), so the numerator is the batch-1 cost
+    # table at THIS width (the schedule-metrics table is the reference's
+    # batch-2 full-width calflops convention) + SDPA + the VAE decode the
+    # timed protocol includes.
+    from ecad_tpu.macs import (
+        V5E_PEAK_BF16,
+        flux_cost_table,
+        hardware_flops_per_image,
+        vae_decoder_flops,
+    )
+    from ecad_tpu.models.vae import VAEConfig
+
+    mfu_table = flux_cost_table(256, 256, batch=1, dim=config.dim)
+    vae_flops = vae_decoder_flops(
+        256, 256, VAEConfig(latent_channels=16)
+    )
+
+    def mfu_fields(sched, t_batch) -> dict:
+        flops = hardware_flops_per_image(
+            sched, mfu_table, dim=config.dim
+        ) + vae_flops
+        tps = flops * BATCH / t_batch
+        return {
+            "flops_per_image_T": round(flops / 1e12, 3),
+            "tflops_per_sec": round(tps / 1e12, 1),
+            "pct_peak": round(100.0 * tps / V5E_PEAK_BF16, 1),
+        }
+
     uncached = FluxPipeline(pcfg, params)
     t_uncached = time_flux(uncached, params, noise, txt, pooled, vae)
+    default_sched = FluxCacheSchedule.default(
+        num_inference_steps=pcfg.num_inference_steps,
+        num_blocks=config.num_blocks,
+        num_single_blocks=config.num_single_blocks,
+        top_level_config={"height": 256, "width": 256},
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "flux_256_uncached",
+                "value": round(t_uncached / BATCH * 1e3, 3),
+                "unit": "ms_per_image",
+                "detail": {
+                    "batch": BATCH,
+                    "dim": config.dim,
+                    "ms_per_image": round(t_uncached / BATCH * 1e3, 3),
+                    **mfu_fields(default_sched, t_uncached),
+                },
+            }
+        ),
+        flush=True,
+    )
 
     for name, ref_speedup in LADDER.items():
         sched = FluxCacheSchedule.from_json(SCHED_DIR / f"{name}.json")
@@ -112,7 +163,9 @@ def main() -> None:
                             t_uncached / BATCH * 1e3, 3
                         ),
                         "cached_ms_per_image": round(t / BATCH * 1e3, 3),
+                        "ms_per_image": round(t / BATCH * 1e3, 3),
                         "device": str(jax.devices()[0]),
+                        **mfu_fields(sched, t),
                     },
                 }
             ),

@@ -102,6 +102,31 @@ def main() -> None:
 
     vae = random_decoder_pipeline(latent_channels=16)
 
+    # MFU accounting (VERDICT r4 #3): batch-1 cost table at THIS width
+    # (the metrics table is the reference's batch-2 full-width calflops
+    # convention) + SDPA + the VAE decode the timed protocol includes.
+    from ecad_tpu.macs import (
+        V5E_PEAK_BF16,
+        flux_cost_table,
+        hardware_flops_per_image,
+        vae_decoder_flops,
+    )
+    from ecad_tpu.models.vae import VAEConfig
+
+    mfu_table = flux_cost_table(1024, 1024, batch=1, dim=config.dim)
+    vae_flops = vae_decoder_flops(1024, 1024, VAEConfig(latent_channels=16))
+
+    def mfu_fields(sched, t_batch) -> dict:
+        flops = hardware_flops_per_image(
+            sched, mfu_table, dim=config.dim
+        ) + vae_flops
+        tps = flops * BATCH / t_batch
+        return {
+            "flops_per_image_T": round(flops / 1e12, 3),
+            "tflops_per_sec": round(tps / 1e12, 1),
+            "pct_peak": round(100.0 * tps / V5E_PEAK_BF16, 1),
+        }
+
     default = FluxCacheSchedule.from_json(
         pathlib.Path(__file__).resolve().parent.parent
         / "schedules/flux_cache_schedules/gen_default"
@@ -109,6 +134,22 @@ def main() -> None:
     )
     uncached = FluxPipeline(pcfg, params, default)
     t_uncached = time_flux(uncached, params, noise, txt, pooled, vae)
+    print(
+        json.dumps(
+            {
+                "metric": "flux_1024_uncached",
+                "value": round(t_uncached / BATCH * 1e3, 3),
+                "unit": "ms_per_image",
+                "detail": {
+                    "batch": BATCH,
+                    "dim": config.dim,
+                    "ms_per_image": round(t_uncached / BATCH * 1e3, 3),
+                    **mfu_fields(default, t_uncached),
+                },
+            }
+        ),
+        flush=True,
+    )
 
     # the step-reduced baseline the paper's transfer schedules beat:
     # default at 8 steps (reference 7607.66 ms → 2.405× vs 20-step)
@@ -136,6 +177,7 @@ def main() -> None:
                     "note": "step-reduction baseline; the ECAD transfer "
                     "schedules below beat it on quality at similar cost "
                     "(paper) — here its wall-clock is the comparison",
+                    **mfu_fields(default8, t8),
                 },
             }
         ),
@@ -165,7 +207,9 @@ def main() -> None:
                             t_uncached / BATCH * 1e3, 3
                         ),
                         "cached_ms_per_image": round(t / BATCH * 1e3, 3),
+                        "ms_per_image": round(t / BATCH * 1e3, 3),
                         "device": str(jax.devices()[0]),
+                        **mfu_fields(sched, t),
                     },
                 }
             ),

@@ -151,7 +151,9 @@ def main() -> None:
         from ecad_tpu.macs import pixart_cost_table
 
         table = pixart_cost_table(1024, 1024, use_additional_conditions=True)
-        fl = hardware_flops_per_image(sched, table) + vae_fl
+        # hw override: _sdpa_macs_per_sample reads the schedule's OWN
+        # config (256 for the transfer schedule) — SDPA must count 1024²
+        fl = hardware_flops_per_image(sched, table, hw=(1024, 1024)) + vae_fl
         tps = fl * BATCH / t
         print(
             json.dumps(

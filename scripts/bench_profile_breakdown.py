@@ -1,7 +1,8 @@
-"""Profiler decomposition of the two weakest ladder rows (VERDICT r3
-item 3): PixArt-α 1024² uncached and full-width FLUX-12B int8_w 256²,
-each traced with jax.profiler and the device time bucketed into
-attention / projections / VAE / other.
+"""Profiler decomposition of the weakest ladder rows (VERDICT r3 item 3,
+r4 item 4): PixArt-α 1024² uncached, the same model under the
+`ours_fast_256_to_1024` transfer schedule (the lowest-MFU committed row),
+and full-width FLUX-12B int8_w 256² — each traced with jax.profiler and
+the device time bucketed into attention / projections / VAE / other.
 
 The MFU columns added to the ladder say HOW efficient each row is; this
 says WHERE the remaining time goes, so the next kernel target is data,
@@ -18,7 +19,8 @@ metadata in the perfetto trace:
   other       — remaining denoise-module time (norms, softmax-free
                 elementwise, sampler arithmetic, copies)
 
-Usage: python scripts/bench_profile_breakdown.py [pixart1024|flux12b ...]
+Usage: python scripts/bench_profile_breakdown.py
+         [pixart1024|pixart1024_cached|flux12b ...]
 """
 
 from __future__ import annotations
@@ -142,7 +144,7 @@ def _emit(row: str, one, sync) -> None:
     )
 
 
-def pixart1024() -> None:
+def _pixart1024_impl(cached: bool) -> None:
     import jax
     import jax.numpy as jnp  # noqa: F401
 
@@ -171,6 +173,9 @@ def pixart1024() -> None:
     vae = random_decoder_pipeline(latent_channels=config.in_channels)
     sched = PixArtCacheSchedule.from_json(
         ROOT
+        / "schedules/schedules_in_paper/pixart_alpha_256/ours_fast.json"
+        if cached
+        else ROOT
         / "schedules/alpha_cache_schedules/gen_default_1024x1024"
         / "default_1024x1024.json"
     )
@@ -180,7 +185,24 @@ def pixart1024() -> None:
     def one():
         return vae.decode_device(fn(params, noise, text, neg, None, None))
 
-    _emit("pixart_1024_uncached", one, bench.sync_image)
+    _emit(
+        "pixart_1024_ours_fast_256_to_1024" if cached
+        else "pixart_1024_uncached",
+        one,
+        bench.sync_image,
+    )
+
+
+def pixart1024() -> None:
+    _pixart1024_impl(cached=False)
+
+
+def pixart1024_cached() -> None:
+    """The ladder's weakest-MFU row (VERDICT r4 #4): the 256→1024
+    transfer schedule `ours_fast_256_to_1024` running the full-size
+    PixArt-α at 1024² — 38.9% MFU vs 63.9% uncached in r04. This
+    decomposition names where the cached program's time goes."""
+    _pixart1024_impl(cached=True)
 
 
 def flux12b() -> None:
@@ -228,7 +250,11 @@ def flux12b() -> None:
     _emit("flux_12b_int8w_256_uncached", one, bench.sync_image)
 
 
-ROWS = {"pixart1024": pixart1024, "flux12b": flux12b}
+ROWS = {
+    "pixart1024": pixart1024,
+    "pixart1024_cached": pixart1024_cached,
+    "flux12b": flux12b,
+}
 
 
 def main() -> None:

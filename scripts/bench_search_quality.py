@@ -197,10 +197,23 @@ def paper_points(ev, family: str) -> list[dict]:
 
 
 def evolved_front_points(
-    ev, run_dir: pathlib.Path, family: str
+    ev, run_dir: pathlib.Path, family: str, evolved_set: str = "archive"
 ) -> tuple[list[dict], int]:
-    """Load the run's final algorithm state, take the non-dominated set,
-    and RE-evaluate it with this evaluator."""
+    """Re-evaluate the search's non-dominated output with this evaluator.
+
+    `evolved_set='final'` takes the last checkpoint's population front
+    (what the r4 verifier did). `'archive'` (default) takes the
+    non-dominated set over EVERY candidate the search evaluated — the
+    union of all checkpoints' (X, F) — which is the run's true output:
+    NSGA-II's fixed-size population necessarily drops front coverage in
+    regions of low hypervolume contribution (the near-uncached corner),
+    but the dropped candidates were still found, scored and saved by the
+    search (the reference likewise publishes schedules picked from
+    population directories at any generation, e.g. the σ transfer
+    artifact from gen 250). Either way every returned point is
+    re-evaluated fresh - no on-disk score is trusted."""
+    import numpy as np
+
     from ecad_tpu.genetic import (
         FluxPopulationIOManager,
         NSGA2,
@@ -213,9 +226,24 @@ def evolved_front_points(
     assert len(names) == 1, names
     gens = sorted((pops / names[0]).glob("gen_*/checkpoint.npz"))
     assert gens, f"no checkpoints under {pops / names[0]}"
-    ckpt = gens[-1]
-    gen_num = int(ckpt.parent.name.split("_")[1])
-    algo = NSGA2.load(ckpt)
+    gen_num = int(gens[-1].parent.name.split("_")[1])
+    if evolved_set == "final":
+        algo = NSGA2.load(gens[-1])
+        X, F = algo.X, algo.F
+    else:
+        assert evolved_set == "archive", evolved_set
+        xs, fs, seen = [], [], set()
+        for ck in gens:
+            algo = NSGA2.load(ck)
+            for x, f in zip(algo.X, algo.F):
+                key = np.packbits(x).tobytes()
+                if key in seen:
+                    continue
+                seen.add(key)
+                xs.append(x)
+                fs.append(f)
+        X, F = np.array(xs), np.array(fs)
+        print(f"archive: {len(X)} unique evaluated candidates", flush=True)
     mgr_cls = (
         FluxPopulationIOManager if family == "flux"
         else PixArtPopulationIOManager
@@ -227,12 +255,12 @@ def evolved_front_points(
         generation_num=gen_num,
         num_inference_steps=STEPS,
     )
-    front_idx = fast_non_dominated_sort(algo.F)[0]
+    front_idx = fast_non_dominated_sort(F)[0]
     points = []
     for j, i in enumerate(front_idx):
-        sched = mgr.vector_to_schedule(algo.X[i], int(i))
+        sched = mgr.vector_to_schedule(X[i], int(i))
         p = eval_point(ev, sched, f"evolved_{j:02d}", "evolved")
-        p["search_F"] = [float(v) for v in algo.F[i]]
+        p["search_F"] = [float(v) for v in F[i]]
         points.append(p)
         print(json.dumps(p), flush=True)
     return points, gen_num
@@ -291,12 +319,18 @@ def main() -> None:
     ap.add_argument("--out", type=pathlib.Path, default=None)
     ap.add_argument("--skip-heuristics", action="store_true",
                     help="reuse heuristic points from an existing --out file")
+    ap.add_argument("--evolved-set", choices=("archive", "final"),
+                    default="archive",
+                    help="non-dominated set over every candidate the "
+                    "search evaluated (archive, default) or only the "
+                    "final population's front (final)")
     args = ap.parse_args()
     out_path = args.out or (args.run_dir / "search_quality.json")
 
     ev = build_evaluator(args.model_family)
     evolved, gen_num = evolved_front_points(ev, args.run_dir,
-                                            args.model_family)
+                                            args.model_family,
+                                            args.evolved_set)
     if args.skip_heuristics and out_path.exists():
         prev = json.loads(out_path.read_text())
         heur = [p for p in prev["points"] if p["family"] != "evolved"
@@ -309,6 +343,8 @@ def main() -> None:
 
     stats = {
         "final_generation": gen_num,
+        "evolved_set": args.evolved_set,
+        "evolved_points": len(evolved),
         "objective": "trajectory fidelity (latent SNR dB vs uncached) "
                      "maximized; total_macs_T minimized",
         "dominance_at_equal_macs": dominance_stats(evolved, heur + paper),

@@ -27,9 +27,13 @@ byte-identical either way): 10636.26 ms/img, recorded as
 UNCACHED_MS_MEASURED and reused as the ratio denominator when the
 "uncached" row isn't re-run.
 
-Usage: python scripts/flux_12b_1024_single_chip.py [batch] [row ...]
+Usage: python scripts/flux_12b_1024_single_chip.py [--quant=MODE] [batch] [row ...]
   rows default to all of: uncached fast_256_to_1024 default_8step
   slow_256_to_1024
+  --quant=int8_w_static (default int8_w) calibrates per-site static
+  activation scales (flux_12b_single_chip.calibrate_static) — the
+  per-token max-abs VPU pass this removes is largest exactly in this
+  bandwidth-bound 1024² regime (VERDICT r4 #5).
 """
 
 from __future__ import annotations
@@ -40,8 +44,10 @@ import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 import bench  # repo-root bench.py: sync + timer + cache-dir setup
+from flux_12b_single_chip import calibrate_static, parse_quant
 
 GIB = 1024**3
 ROOT = pathlib.Path(__file__).resolve().parent.parent
@@ -104,8 +110,9 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    rows = sys.argv[2:] or list(LADDER)
+    quant, argv = parse_quant(sys.argv[1:])
+    batch = int(argv[0]) if argv else 1
+    rows = argv[1:] or list(LADDER)
     unknown = [r for r in rows if r not in LADDER]
     assert not unknown, f"unknown rows {unknown}; choose from {list(LADDER)}"
 
@@ -140,6 +147,32 @@ def main() -> None:
     )
     vae = random_decoder_pipeline(latent_channels=16)
 
+    if quant == "int8_w_static":
+        scales = calibrate_static(
+            config, params, noise, txt, pooled, pcfg.grid_hw
+        )
+        print(f"calibrated {len(scales)} static activation sites", flush=True)
+        config = dataclasses.replace(
+            config, quant="int8_w_static", act_scales=scales
+        )
+        pcfg = dataclasses.replace(pcfg, model=config)
+
+    # MFU accounting (VERDICT r4 #3): batch-1 cost table (no CFG in the
+    # guidance-distilled pipeline; the metrics table's batch-2 is the
+    # reference calflops convention) + SDPA + VAE decode, rated against
+    # the bf16 MXU peak by convention so pct_peak is comparable across
+    # quant modes.
+    from ecad_tpu.macs import (
+        V5E_PEAK_BF16,
+        flux_cost_table,
+        hardware_flops_per_image,
+        vae_decoder_flops,
+    )
+    from ecad_tpu.models.vae import VAEConfig
+
+    mfu_table = flux_cost_table(1024, 1024, batch=1)
+    vae_flops = vae_decoder_flops(1024, 1024, VAEConfig(latent_channels=16))
+
     results = {}
     if "uncached" in rows:
         t_uncached = None
@@ -159,10 +192,15 @@ def main() -> None:
         ms_img = t / batch * 1e3
         if name == "uncached":
             t_uncached = t
+        fl = hardware_flops_per_image(sched, mfu_table) + vae_flops
+        tps = fl * batch / t
         results[name] = {
             "ms_per_image": round(ms_img, 2),
             "a6000_ms_per_image": ref_ms,
             "absolute_speedup_vs_a6000": round(ref_ms / ms_img, 3),
+            "flops_per_image_T": round(fl / 1e12, 3),
+            "tflops_per_sec": round(tps / 1e12, 1),
+            "pct_peak_bf16": round(100.0 * tps / V5E_PEAK_BF16, 1),
             **(
                 {"speedup_vs_uncached": round(t_uncached / t, 3)}
                 if t_uncached is not None and name != "uncached"
@@ -177,7 +215,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"flux_12b_1024_single_chip_{headline}_absolute",
+                "metric": "flux_12b_1024_single_chip_" + headline
+                + ("" if quant == "int8_w" else f"_{quant}")
+                + "_absolute",
                 "value": results[headline]["ms_per_image"],
                 "unit": "ms_per_image",
                 "vs_baseline": results[headline][
@@ -187,7 +227,7 @@ def main() -> None:
                     "batch": batch,
                     "params_B": round(n_params / 1e9, 3),
                     "weight_GiB": round(weight_bytes / GIB, 2),
-                    "quant": "int8_w (W8A8, int8 MXU) + float8_e4m3fn cache storage",
+                    "quant": quant + " (W8A8, int8 MXU) + float8_e4m3fn cache storage",
                     "protocol": "20-step denoise + VAE decode to uint8,"
                     " 1024², same-width model as the reference's A6000",
                     "device": str(jax.devices()[0]),

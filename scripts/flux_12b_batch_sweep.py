@@ -8,6 +8,15 @@ allocator refuses, reports the best as the `batch_max` row, and re-runs
 ours_fast at the winning batch (cached schedules ADD cache HBM, so the
 cached winner can be a smaller batch — measured, not assumed).
 
+Round 5 (VERDICT r4 #2): the r4 sweep measured batch 6/8 WORSE per
+image than batch 4 (852.5 -> 1018.4 -> 945.6 ms/img) and stopped without
+its summary. This version (a) runs to the OOM boundary, (b) records
+XLA's compiled memory_analysis per batch (peak/temp/argument bytes — the
+HBM-pressure hypothesis is testable, not guessed), and (c) traces one
+denoise at the best and the most-regressed batch and buckets device time
+with bench_profile_breakdown's classifier, so the summary names WHERE
+the extra per-image time goes (attention / projections / other).
+
 Usage: python scripts/flux_12b_batch_sweep.py [batches...]  (default
 4 6 8 10 12)
 """
@@ -22,6 +31,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 import bench  # noqa: E402  (repo-root: sync + compile-cache env)
+from bench_profile_breakdown import _classify, _device_events  # noqa: E402
 from flux_12b_single_chip import GIB, LADDER, SCHED_DIR, time_flux  # noqa: E402
 
 
@@ -70,18 +80,60 @@ def main() -> None:
             ),
         )
 
-    def measure(name, b):
+    def pipe_for(name, b):
         sched = (
             None
             if name == "uncached"
             else FluxCacheSchedule.from_json(SCHED_DIR / f"{name}.json")
         )
-        pipe = FluxPipeline(pcfg, params, sched)
-        noise, txt, pooled = inputs(b)
+        return FluxPipeline(pcfg, params, sched), inputs(b)
+
+    def measure(name, b):
+        pipe, (noise, txt, pooled) = pipe_for(name, b)
         t = time_flux(pipe, params, noise, txt, pooled, vae)
         return t / b * 1e3
 
+    def mem_analysis(b) -> dict:
+        """XLA's own accounting of the uncached denoise program at batch
+        `b` (the VAE decode is a separate, smaller program)."""
+        pipe, (noise, txt, pooled) = pipe_for("uncached", b)
+        fn = pipe.build_denoise_fn(donate=False)
+        ma = fn.lower(params, noise, txt, pooled).compile().memory_analysis()
+        return {
+            "argument_GiB": round(ma.argument_size_in_bytes / GIB, 2),
+            "temp_GiB": round(ma.temp_size_in_bytes / GIB, 3),
+            "peak_GiB": round(
+                (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                 + ma.temp_size_in_bytes) / GIB, 2),
+        }
+
+    def bucket_profile(b) -> dict:
+        """One traced uncached denoise+decode at batch `b`, device time
+        bucketed per image (attention/projections/vae/other)."""
+        import tempfile
+
+        pipe, (noise, txt, pooled) = pipe_for("uncached", b)
+        from ecad_tpu.models.flux import unpack_latents
+
+        gh, gw = pipe.config.grid_hw
+        fn = pipe.build_denoise_fn(donate=False)
+
+        def one():
+            return vae.decode_device(
+                unpack_latents(fn(params, noise, txt, pooled), gh, gw)
+            )
+
+        bench.sync_image(one())  # warm
+        trace_dir = tempfile.mkdtemp(prefix=f"sweep_b{b}_")
+        with jax.profiler.trace(trace_dir):
+            bench.sync_image(one())
+        buckets, _ = _classify(_device_events(trace_dir))
+        return {
+            k: round(v / 1e3 / b, 2) for k, v in buckets.items()
+        }  # device ms per image
+
     sweep = {}
+    mem = {}
     best_b, best_ms = None, float("inf")
     for b in batches:
         try:
@@ -93,10 +145,27 @@ def main() -> None:
             print(json.dumps({"batch": b, "uncached": "OOM"}), flush=True)
             break
         sweep[str(b)] = round(ms, 2)
-        print(json.dumps({"batch": b, "uncached_ms_img": round(ms, 2)}),
-              flush=True)
+        try:
+            mem[str(b)] = mem_analysis(b)
+        except Exception as e:  # noqa: BLE001 — analysis is best-effort
+            mem[str(b)] = f"unavailable: {type(e).__name__}"
+        print(json.dumps({"batch": b, "uncached_ms_img": round(ms, 2),
+                          "memory_analysis": mem[str(b)]}), flush=True)
         if ms < best_ms:
             best_b, best_ms = b, ms
+
+    # regression attribution: bucket the best batch and the worst
+    # measured batch (the one with the largest ms/img among those that
+    # ran) — per-image device time by bucket names where the regression
+    # lives (VERDICT r4 #2)
+    ran = {int(k): v for k, v in sweep.items() if v != "OOM"}
+    worst_b = max(ran, key=ran.get)
+    profiles = {}
+    for b in sorted({best_b, worst_b}):
+        profiles[str(b)] = bucket_profile(b)
+        print(json.dumps({"bucket_profile_batch": b,
+                          "device_ms_per_image": profiles[str(b)]}),
+              flush=True)
 
     cached = {}
     for name in ("ours_fast", "ours_faster"):
@@ -126,6 +195,8 @@ def main() -> None:
                 "detail": {
                     "best_batch": best_b,
                     "sweep_uncached_ms_img": sweep,
+                    "memory_analysis_per_batch": mem,
+                    "bucket_profiles_device_ms_per_image": profiles,
                     "cached_rows": cached,
                     "a6000_uncached_ms_img_batch18": LADDER["uncached"],
                     "quant": "int8_w weights + float8_e4m3fn caches",

@@ -24,7 +24,13 @@ Caches store as float8_e4m3fn (FluxConfig.cache_dtype) — at 256² that
 is not needed for batch 1 but lets multi-image batches keep their
 cache sets on chip (the A6000 reference row is batch 18).
 
-Usage: python scripts/flux_12b_single_chip.py [batch] [row ...]
+Usage: python scripts/flux_12b_single_chip.py [--quant=MODE] [batch] [row ...]
+
+--quant=int8_w_static (default int8_w) additionally calibrates per-site
+static activation scales on 3 flow-matching times and serves with
+Int8Dense.act_amax — removing the per-token max-abs VPU pass from every
+block projection (VERDICT r4 #5; the PixArt 1024² result says this is
+the bandwidth-bound regime's lever).
 """
 
 from __future__ import annotations
@@ -36,6 +42,50 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import bench  # repo-root bench.py: sync + cache-dir setup
+
+
+def parse_quant(argv: list[str]) -> tuple[str, list[str]]:
+    quant = "int8_w"
+    rest = []
+    for a in argv:
+        if a.startswith("--quant="):
+            quant = a.split("=", 1)[1]
+            assert quant in ("int8_w", "int8_w_static"), quant
+        else:
+            rest.append(a)
+    return quant, rest
+
+
+def calibrate_static(config, params, noise, txt, pooled, grid) -> tuple:
+    """Per-site activation amax on the int8_w model itself (the bf16
+    full-width model does not fit one chip) at 3 flow-matching times —
+    the same protocol as FluxImageGenerator._calibrate_static_scales."""
+    import jax.numpy as jnp
+
+    from ecad_tpu.models.flux import (
+        FluxTransformer,
+        full_flux_mask,
+        init_flux_cache,
+    )
+    from ecad_tpu.ops.quant import calibrate_dense_amax, merge_amax
+
+    model = FluxTransformer(config)
+    b = 1
+    g = jnp.full((b,), 5.0, jnp.float32)
+    table = merge_amax(
+        *(
+            calibrate_dense_amax(
+                model, {"params": params}, noise[:b], txt[:b], pooled[:b],
+                jnp.full((b,), tv, jnp.float32), g, init_flux_cache(),
+                full_flux_mask(config), grid,
+            )
+            for tv in (1.0, 0.5, 0.05)
+        )
+    )
+    import jax
+
+    jax.clear_caches()
+    return tuple(sorted(table.items()))
 
 GIB = 1024**3
 SCHED_DIR = (
@@ -80,8 +130,9 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    rows = sys.argv[2:] or list(LADDER)
+    quant, argv = parse_quant(sys.argv[1:])
+    batch = int(argv[0]) if argv else 1
+    rows = argv[1:] or list(LADDER)
     unknown = [r for r in rows if r not in LADDER]
     assert not unknown, f"unknown rows {unknown}; choose from {list(LADDER)}"
 
@@ -117,6 +168,18 @@ def main() -> None:
     )
     vae = random_decoder_pipeline(latent_channels=16)
 
+    if quant == "int8_w_static":
+        import dataclasses
+
+        scales = calibrate_static(
+            config, params, noise, txt, pooled, pcfg.grid_hw
+        )
+        print(f"calibrated {len(scales)} static activation sites", flush=True)
+        config = dataclasses.replace(
+            config, quant="int8_w_static", act_scales=scales
+        )
+        pcfg = dataclasses.replace(pcfg, model=config)
+
     results = {}
     t_uncached = None
     for name in rows:
@@ -130,9 +193,10 @@ def main() -> None:
         ms_img = t / batch * 1e3
         if name == "uncached":
             t_uncached = t
-        # MFU accounting (attention FLOPs included) vs the bf16 MXU peak:
-        # int8_w is weight-STORAGE only — the matmuls run bf16, so 197
-        # TFLOP/s is the honest denominator (394 would apply to W8A8)
+        # MFU accounting (attention FLOPs included), rated against the
+        # bf16 MXU peak by convention so pct_peak is comparable across
+        # quant modes (the W8A8 projections do run the 394-TOPS int8
+        # path; against that peak the same row would read half)
         from ecad_tpu.macs import (
             V5E_PEAK_BF16,
             flux_cost_table,
@@ -170,10 +234,11 @@ def main() -> None:
     # BENCH_LADDER/PROGRESS), otherwise the last row actually run — keeps a
     # no-argument run emitting the same metric across revisions
     head = "ours_fast" if "ours_fast" in results else rows[-1]
+    suffix = "" if quant == "int8_w" else f"_{quant}"
     print(
         json.dumps(
             {
-                "metric": f"flux_12b_single_chip_{head}_absolute",
+                "metric": f"flux_12b_single_chip_{head}{suffix}_absolute",
                 "value": results[head]["ms_per_image"],
                 "unit": "ms_per_image",
                 "vs_baseline": results[head][
@@ -183,7 +248,7 @@ def main() -> None:
                     "batch": batch,
                     "params_B": round(n_params / 1e9, 3),
                     "weight_GiB": round(weight_bytes / GIB, 2),
-                    "quant": "int8_w (W8A8, int8 MXU)"
+                    "quant": quant + " (W8A8, int8 MXU)"
                     " + float8_e4m3fn cache storage",
                     "protocol": "20-step denoise + VAE decode to uint8,"
                     " 256², same-width model as the reference's A6000",
