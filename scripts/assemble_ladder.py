@@ -17,6 +17,8 @@ ladder is:
     python scripts/flux_12b_single_chip.py --quant=int8_w_static \
                                                > .r5_evidence/flux12b_static.log
     python scripts/flux_12b_1024_single_chip.py > .r5_evidence/flux12b_1024.log
+    python scripts/flux_12b_1024_single_chip.py --quant=int8_w_static 1 \
+        fast_256_to_1024                        > .r5_evidence/flux12b_1024_static.log
     python scripts/flux_12b_batch_sweep.py      > .r5_evidence/flux_batch_sweep.log
     python scripts/bench_attention_kernels.py   > .r5_evidence/kernels.log
     python scripts/bench_profile_breakdown.py   > .r5_evidence/breakdown.log
@@ -88,9 +90,10 @@ def main(dest: pathlib.Path | None = None) -> None:
             "committed RTX A6000 metrics (BASELINE.md). Protocol "
             "unchanged: full pipeline - denoise + VAE decode to uint8 "
             "pixels on device. New in round 5: the FLUX NSGA-II search "
-            "ran 101 generations pop-24 ON the chip over the real "
-            "3420-gene genome and its evolved front dominates the FLUX "
-            "heuristic families (search_quality.flux_256 section); the "
+            "ran pop-24 ON the chip over the real 3420-gene genome "
+            "(generation count + dominance/hypervolume stats vs the FLUX "
+            "heuristic families in the search_quality.flux_256 section); "
+            "the "
             "12B batch sweep ran to the HBM limit with XLA "
             "memory_analysis per batch and a bucketed device-time "
             "attribution of the batch-6/8 regression (batch_max "
@@ -275,7 +278,8 @@ def main(dest: pathlib.Path | None = None) -> None:
     # ---- 12B single-chip: 256 (int8_w + int8_w_static), 1024, sweep ----
     f12 = by_metric(jsonl(EV / "flux12b.log") + jsonl(
         EV / "flux12b_static.log"))
-    f12_1024 = by_metric(jsonl(EV / "flux12b_1024.log"))
+    f12_1024 = by_metric(jsonl(EV / "flux12b_1024.log") + jsonl(
+        EV / "flux12b_1024_static.log"))
     sweep = by_metric(jsonl(EV / "flux_batch_sweep.log"))
     sec = {}
     if f12:
@@ -375,14 +379,16 @@ def main(dest: pathlib.Path | None = None) -> None:
             "comment": (
                 "The FLUX search the reference's published artifact set "
                 "is built from (flux_population_io_manager.py pop 24, "
-                "3420-gene genome), run 101 generations ON the v5e chip "
+                "3420-gene genome), run "
+                f"{q['final_generation']} generations ON the v5e chip "
                 "via `python -m ecad_tpu.genetic.train --flux-dim 1536` "
                 "(width-reduced dim-1536 FLUX, all 19 dual + 38 single "
                 "blocks, trajectory-fidelity x MACs objective, 4 "
                 "prompts). Dominance re-evaluates the evolved candidates "
                 "fresh - no trust in on-disk scores. Artifacts: "
                 "search_runs/fidelity_flux256/ (per-generation "
-                "populations gen_000-gen_101, trend.json, train.log)."
+                "populations gen_000-gen_"
+                f"{q['final_generation']:03d}, trend.json, train.log)."
             ),
             "final_generation": q["final_generation"],
             "objective": q["objective"],

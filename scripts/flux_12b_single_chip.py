@@ -175,10 +175,37 @@ def main() -> None:
             config, params, noise, txt, pooled, pcfg.grid_hw
         )
         print(f"calibrated {len(scales)} static activation sites", flush=True)
+        # quality guardrail: static per-tensor scales vs the int8_w
+        # baseline (per-token dynamic) on the SAME 20-step uncached
+        # denoise — the bf16 reference doesn't fit one chip, so int8_w
+        # (whose PixArt analogue is quality-checked against bf16 in
+        # bench_quant_1024.py) is the comparison anchor
+        base_lat = FluxPipeline(pcfg, params, None).build_denoise_fn(
+            donate=False)(params, noise[:1], txt[:1], pooled[:1])
+        base_lat = np.asarray(base_lat, np.float32)
         config = dataclasses.replace(
             config, quant="int8_w_static", act_scales=scales
         )
         pcfg = dataclasses.replace(pcfg, model=config)
+        stat_lat = FluxPipeline(pcfg, params, None).build_denoise_fn(
+            donate=False)(params, noise[:1], txt[:1], pooled[:1])
+        stat_lat = np.asarray(stat_lat, np.float32)
+        rel = float(
+            np.linalg.norm(stat_lat - base_lat) / np.linalg.norm(base_lat)
+        )
+        print(
+            json.dumps(
+                {
+                    "int8_w_static_quality": {
+                        "final_latent_rel_err_vs_int8_w": round(rel, 5),
+                        "protocol": "20-step uncached denoise, batch 1, "
+                        "identical noise/text inputs",
+                    }
+                }
+            ),
+            flush=True,
+        )
+        jax.clear_caches()
 
     results = {}
     t_uncached = None
