@@ -29,7 +29,7 @@ ladder is:
     python scripts/bench_search_quality.py --run-dir search_runs/fidelity_flux256 \
         --model-family flux
     python scripts/bench_search_dp8.py          > .r5_evidence/dp8.jsonl
-    python scripts/flux_full_width.py 1024-exec (writes FLUX1024_FULLDEPTH.json)
+    python scripts/flux_full_width.py cpu-1024  (writes FLUX1024_FULLDEPTH.json)
     python scripts/assemble_ladder.py
 
 A section with no round-5 evidence log is carried from
@@ -82,31 +82,78 @@ def _mfu(detail: dict) -> dict:
     return out
 
 
+def _headline_comment(out: dict) -> str:
+    """Build the ladder's headline from the sections that actually landed.
+
+    Every 'New in round 5' clause is gated on its section being present
+    (and, for the MFU claim, on a scan of the rows), so the committed
+    comment cannot claim evidence the file doesn't carry.
+    """
+    clauses: list[str] = []
+    sq = out.get("search_quality", {})
+    if "flux_256" in sq and "carried_from" not in sq:
+        fx = sq["flux_256"]
+        clauses.append(
+            "the FLUX NSGA-II search ran pop-24 ON the chip over the "
+            f"real 3420-gene genome ({fx.get('final_generation', '?')} "
+            "generations; dominance/hypervolume stats vs the FLUX "
+            "heuristic families in the search_quality.flux_256 section)"
+        )
+    twelve_b = out.get("flux_full_width_12B_single_chip", {})
+    if "batch_max" in twelve_b:
+        clauses.append(
+            "the 12B batch sweep ran to the HBM limit with XLA "
+            "memory_analysis per batch and a device-time attribution of "
+            "the batch-size regression (batch_max section)"
+        )
+
+    # MFU claim: state it only if TRUE of the file — every non-carried
+    # row that reports a latency also reports tflops_per_sec.
+    def latency_rows(node, carried=False):
+        if not isinstance(node, dict):
+            return
+        carried = carried or "carried_from" in node
+        if "ms_per_image" in node or "ms_per_step" in node:
+            yield node, carried
+        for v in node.values():
+            yield from latency_rows(v, carried)
+    rows = [r for sec in out.values() for r in latency_rows(sec)]
+    fresh = [r for r, carried in rows if not carried]
+    if fresh and all(r.get("tflops_per_sec") is not None for r in fresh):
+        clauses.append(
+            "every freshly measured latency row self-reports MFU "
+            "(tflops_per_sec / pct_peak, attention + VAE FLOPs included)"
+        )
+    if any("int8_w_static" in k for sec in out.values()
+           if isinstance(sec, dict) for k in sec):
+        clauses.append(
+            "int8_w_static rows add calibrated static activation scales "
+            "to the 12B serving path"
+        )
+    if "profile_breakdown" in out:
+        clauses.append(
+            "the profile_breakdown section attributes device time for "
+            "the weakest rows"
+        )
+    new = ("New in round 5: " + "; ".join(clauses) + ". ") if clauses \
+        else ""
+    return (
+        "Round-5 measurements on TPU v5e (1 chip) vs the reference's "
+        "committed RTX A6000 metrics (BASELINE.md). Protocol unchanged: "
+        "full pipeline - denoise + VAE decode to uint8 pixels on device. "
+        + new +
+        "vs_baseline = our cached/uncached speedup over the reference's "
+        "on the same schedule; absolute rows = reference ms / our ms."
+    )
+
+
 def main(dest: pathlib.Path | None = None) -> None:
     r04 = json.loads((ROOT / "BENCH_LADDER_r04.json").read_text())
-    out: dict = {
-        "comment": (
-            "Round-5 measurements on TPU v5e (1 chip) vs the reference's "
-            "committed RTX A6000 metrics (BASELINE.md). Protocol "
-            "unchanged: full pipeline - denoise + VAE decode to uint8 "
-            "pixels on device. New in round 5: the FLUX NSGA-II search "
-            "ran pop-24 ON the chip over the real 3420-gene genome "
-            "(generation count + dominance/hypervolume stats vs the FLUX "
-            "heuristic families in the search_quality.flux_256 section); "
-            "the "
-            "12B batch sweep ran to the HBM limit with XLA "
-            "memory_analysis per batch and a bucketed device-time "
-            "attribution of the batch-6/8 regression (batch_max "
-            "section); every FLUX row is re-measured with MFU fields "
-            "(tflops_per_sec / pct_peak, attention + VAE FLOPs "
-            "included); int8_w_static rows add calibrated static "
-            "activation scales to the 12B serving path; the profiler "
-            "breakdown section attributes device time for the weakest "
-            "rows (profile_breakdown section). vs_baseline = our "
-            "cached/uncached speedup over the reference's on the same "
-            "schedule; absolute rows = reference ms / our ms."
-        )
-    }
+    # The headline comment is assembled AFTER the sections (bottom of
+    # main) from what actually landed, so a claim can never outrun its
+    # evidence (the r4 failure mode: a "batch_max section" sentence with
+    # no batch_max key). Insert the placeholder first to pin key order.
+    out: dict = {"comment": ""}
 
     def carry(key: str, src_key: str | None = None) -> dict:
         row = dict(r04[src_key or key])
@@ -347,6 +394,17 @@ def main(dest: pathlib.Path | None = None) -> None:
         }
 
     # ---- search quality: both families ----
+    def _useful_region(q: dict) -> dict:
+        u = q.get("dominance_useful_region")
+        if not u:
+            return {}
+        return {"dominance_useful_region": {
+            "comment": u["comment"],
+            "overall_dominated_pct": u["overall_dominated_pct"],
+            "per_family": {k: v["dominated_pct"]
+                           for k, v in u["per_family"].items()},
+        }}
+
     sq_sec = {}
     sq_px = ROOT / "search_runs/fidelity_pixart256_v2/search_quality.json"
     if sq_px.exists():
@@ -367,6 +425,7 @@ def main(dest: pathlib.Path | None = None) -> None:
                 k: v["dominated_pct"]
                 for k, v in q["dominance_at_equal_macs"].items()
             },
+            **_useful_region(q),
             "hypervolume": q["hypervolume"],
         }
     sq_fx = ROOT / "search_runs/fidelity_flux256/search_quality.json"
@@ -396,6 +455,7 @@ def main(dest: pathlib.Path | None = None) -> None:
                 k: v["dominated_pct"]
                 for k, v in q["dominance_at_equal_macs"].items()
             },
+            **_useful_region(q),
             "hypervolume": q["hypervolume"],
             **({"trend": trend.get("summary", trend)} if trend else {}),
         }
@@ -479,6 +539,7 @@ def main(dest: pathlib.Path | None = None) -> None:
     else:
         out["train_cli_on_tpu"] = carry("train_cli_on_tpu")
 
+    out["comment"] = _headline_comment(out)
     if dest is None:
         dest = ROOT / "BENCH_LADDER_r05.json"
     dest.write_text(json.dumps(out, indent=1) + "\n")

@@ -294,6 +294,55 @@ def dominance_stats(evolved: list[dict], others: list[dict]) -> dict:
     return by_family
 
 
+def uncached_macs_T(family: str) -> float:
+    """Analytic MACs of the all-recompute (uncached) schedule — the
+    anchor for the useful-region cut. CPU-only (macs.py)."""
+    from ecad_tpu.schedules import FluxCacheSchedule, PixArtCacheSchedule
+
+    fam = FAMILY[family]
+    if family == "flux":
+        sched = FluxCacheSchedule.default(
+            STEPS, fam["num_blocks"], fam["num_single_blocks"]
+        )
+    else:
+        sched = PixArtCacheSchedule.default(STEPS, fam["num_blocks"])
+    return macs_T(sched)
+
+
+# A heuristic point offering less than this MACs saving vs uncached is a
+# near-identity schedule (e.g. FLUX "cache 1 of 57 blocks for 1 of 20
+# steps" = 99.5% of uncached MACs, 1.005x speedup): its trajectory is
+# within measurement noise of uncached, so its fidelity sits above any
+# genuinely-caching point's by construction, and no acceleration user
+# would deploy it. The useful-region stats exclude that corner; the raw
+# stats keep it.
+USEFUL_REGION_MIN_SAVING = 0.05
+
+
+def dominance_in_useful_region(
+    evolved: list[dict], others: list[dict], uncached_T: float
+) -> dict:
+    cut = (1.0 - USEFUL_REGION_MIN_SAVING) * uncached_T
+    useful = [p for p in others if p["macs_T"] <= cut]
+    stats = dominance_stats(evolved, useful)
+    return {
+        "comment": (
+            "dominance restricted to heuristic points saving >= "
+            f"{USEFUL_REGION_MIN_SAVING:.0%} of uncached MACs "
+            f"(macs_T <= {cut:.2f} of uncached {uncached_T:.2f}); "
+            "near-identity schedules above the cut are within "
+            "measurement noise of the uncached trajectory and outside "
+            "any acceleration deployment"
+        ),
+        "macs_cut_T": round(cut, 3),
+        "n_excluded_near_identity": len(others) - len(useful),
+        "per_family": stats,
+        "overall_dominated_pct": round(
+            100.0 * sum(f["dominated"] for f in stats.values())
+            / max(1, sum(f["n"] for f in stats.values())), 1),
+    }
+
+
 def hypervolumes(evolved, heuristics) -> dict:
     from ecad_tpu.genetic import hypervolume_2d
 
@@ -324,30 +373,46 @@ def main() -> None:
                     help="non-dominated set over every candidate the "
                     "search evaluated (archive, default) or only the "
                     "final population's front (final)")
+    ap.add_argument("--stats-only", action="store_true",
+                    help="recompute every statistic from the existing "
+                    "--out file's measured points (no chip, no re-eval)")
     args = ap.parse_args()
     out_path = args.out or (args.run_dir / "search_quality.json")
 
-    ev = build_evaluator(args.model_family)
-    evolved, gen_num = evolved_front_points(ev, args.run_dir,
-                                            args.model_family,
-                                            args.evolved_set)
-    if args.skip_heuristics and out_path.exists():
+    if args.stats_only:
         prev = json.loads(out_path.read_text())
+        evolved = [p for p in prev["points"] if p["family"] == "evolved"]
+        gen_num = prev["final_generation"]
+        evolved_set = prev.get("evolved_set", "archive")
         heur = [p for p in prev["points"] if p["family"] != "evolved"
                 and p["family"] != "paper_evolved_reference"]
         paper = [p for p in prev["points"]
                  if p["family"] == "paper_evolved_reference"]
     else:
-        heur = heuristic_points(ev, args.model_family)
-        paper = paper_points(ev, args.model_family)
+        evolved_set = args.evolved_set
+        ev = build_evaluator(args.model_family)
+        evolved, gen_num = evolved_front_points(ev, args.run_dir,
+                                                args.model_family,
+                                                args.evolved_set)
+        if args.skip_heuristics and out_path.exists():
+            prev = json.loads(out_path.read_text())
+            heur = [p for p in prev["points"] if p["family"] != "evolved"
+                    and p["family"] != "paper_evolved_reference"]
+            paper = [p for p in prev["points"]
+                     if p["family"] == "paper_evolved_reference"]
+        else:
+            heur = heuristic_points(ev, args.model_family)
+            paper = paper_points(ev, args.model_family)
 
     stats = {
         "final_generation": gen_num,
-        "evolved_set": args.evolved_set,
+        "evolved_set": evolved_set,
         "evolved_points": len(evolved),
         "objective": "trajectory fidelity (latent SNR dB vs uncached) "
                      "maximized; total_macs_T minimized",
         "dominance_at_equal_macs": dominance_stats(evolved, heur + paper),
+        "dominance_useful_region": dominance_in_useful_region(
+            evolved, heur + paper, uncached_macs_T(args.model_family)),
         "hypervolume": hypervolumes(evolved, heur),
         "points": evolved + heur + paper,
     }

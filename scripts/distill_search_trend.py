@@ -2,8 +2,10 @@
 
 The committed evidence for the on-TPU NSGA-II run (VERDICT r3 item 1,
 deliverable a) can't be the full 500 MB run directory; this script reads
-every generation's checkpoint.npz (X bool genome, F = [-fidelity_dB,
-macs_T], G hamming constraint) and emits a compact trend record: per-gen
+every generation's checkpoint.npz (X bool genome, F = [1 - fidelity_dB,
+macs_T] — the reference's "1 - score" minimize convention,
+population_io.py load_evaluation_scores — G hamming constraint) and
+emits a compact trend record: per-gen
 hypervolume, Pareto-front size, and best fidelity within fixed MACs
 budgets. The monotone hypervolume rise is the "objective actually moved"
 proof the reference's published searches carry implicitly
@@ -30,8 +32,10 @@ from ecad_tpu.genetic import hypervolume_2d  # noqa: E402
 from ecad_tpu.genetic.nsga2 import fast_non_dominated_sort  # noqa: E402
 
 # fixed compute budgets (schedule MACs, T) at which the trend reports the
-# best fidelity seen so far; 0.66 T ≈ the paper ours_fast point's budget,
-# 1.4 T ≈ recompute-every-2, 5.6 T ≈ uncached (macs.py transformer MACs)
+# best fidelity seen so far; the PixArt-256 defaults: 0.66 T ≈ the paper
+# ours_fast point's budget, 1.4 T ≈ recompute-every-2, 5.6 T ≈ uncached
+# (macs.py transformer MACs). FLUX searches pass --budgets scaled to that
+# model's uncached MACs (dim-1536/20-step uncached ≈ 180 T).
 BUDGETS_T = (0.4, 0.66, 1.0, 1.4, 2.8)
 
 
@@ -39,6 +43,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-dir", type=pathlib.Path, required=True)
     ap.add_argument("--out", type=pathlib.Path, default=None)
+    ap.add_argument("--budgets", type=float, nargs="+",
+                    default=list(BUDGETS_T),
+                    help="MACs budgets (T) for the best-fidelity-so-far "
+                    "curves; defaults are PixArt-256-scale")
     args = ap.parse_args()
 
     pops = args.run_dir / "populations"
@@ -54,12 +62,14 @@ def main() -> None:
     per_gen = []
     for ck in ckpts:
         d = np.load(ck)
-        # F is the current evaluated parent population ([-fidelity_dB,
+        # F is the current evaluated parent population ([1 - fidelity_dB,
         # macs_T]); the checkpoint's `pending` array is the OFFSPRING
         # genome matrix awaiting evaluation (nsga2.py ask/tell), not a
-        # per-row validity flag.
+        # per-row validity flag. Shift F[:,0] to -fidelity_dB so the
+        # hypervolume floor and the budget curves are in true dB.
         F = d["F"]
         F = F[np.isfinite(F).all(axis=1)]
+        F = F - np.array([1.0, 0.0])
         if not len(F):
             continue
         per_gen.append((int(ck.parent.name.split("_")[1]), F))
@@ -81,14 +91,15 @@ def main() -> None:
                 str(b): round(float(-seen[seen[:, 1] <= b, 0].min()), 3)
                 if (seen[:, 1] <= b).any()
                 else None
-                for b in BUDGETS_T
+                for b in args.budgets
             },
         }
         trend.append(row)
 
     out = {
         "run_dir": str(args.run_dir),
-        "objectives": ["-fidelity_dB (trajectory PSNR vs uncached)",
+        "objectives": ["-fidelity_dB (checkpoint F[:,0] - 1; trajectory "
+                       "SNR vs uncached)",
                        "macs_T (schedule transformer MACs)"],
         "hv_reference_point": [float(ref[0]), round(float(ref[1]), 4)],
         "generations": trend,

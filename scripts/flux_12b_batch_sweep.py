@@ -170,7 +170,7 @@ def main() -> None:
     cached = {}
     for name in ("ours_fast", "ours_faster"):
         b = best_b
-        while b >= 1:
+        while True:
             try:
                 cached[name] = {
                     "batch": b,
@@ -180,9 +180,10 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 if not _is_oom(e):
                     raise
-                b = max(1, b // 2)
-                if b == 1 and name in cached:
+                if b == 1:  # OOM even at batch 1: record and move on
+                    cached[name] = "OOM_at_batch_1"
                     break
+                b = max(1, b // 2)
         print(json.dumps({name: cached.get(name)}), flush=True)
 
     print(

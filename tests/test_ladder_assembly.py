@@ -54,6 +54,81 @@ def test_every_carried_row_is_tagged():
             assert src in r04, f"carried row {key} missing from r04 ladder"
 
 
+def test_headline_comment_claims_match_sections():
+    """The r4 failure mode, pinned structurally: every section name the
+    headline comment references must exist in the file, and the
+    section-gated clauses must only appear when their section does."""
+    committed = json.loads((ROOT / "BENCH_LADDER_r05.json").read_text())
+    comment = committed["comment"]
+    for claim, present in [
+        ("batch_max section",
+         "batch_max" in committed.get("flux_full_width_12B_single_chip",
+                                      {})),
+        ("search_quality.flux_256 section",
+         "flux_256" in committed.get("search_quality", {})
+         and "carried_from" not in committed.get("search_quality", {})),
+        ("profile_breakdown section", "profile_breakdown" in committed),
+    ]:
+        if claim in comment:
+            assert present, f"comment claims '{claim}' but it is absent"
+
+
+def test_headline_mfu_claim_is_true_of_the_file():
+    """If the comment claims fresh rows self-report MFU, scan every
+    non-carried latency row for tflops_per_sec."""
+    committed = json.loads((ROOT / "BENCH_LADDER_r05.json").read_text())
+    if "self-reports MFU" not in committed["comment"]:
+        return
+
+    def latency_rows(node, carried=False):
+        if not isinstance(node, dict):
+            return
+        carried = carried or "carried_from" in node
+        if "ms_per_image" in node or "ms_per_step" in node:
+            yield node, carried
+        for v in node.values():
+            yield from latency_rows(v, carried)
+
+    fresh = [r for sec in committed.values()
+             for r, carried in latency_rows(sec) if not carried]
+    assert fresh, "MFU claim with no fresh latency rows"
+    missing = [r for r in fresh if r.get("tflops_per_sec") is None]
+    assert not missing, f"{len(missing)} fresh rows lack MFU fields"
+
+
+def test_dominance_useful_region_stats():
+    """Unit check of the useful-region cut (scripts/bench_search_quality):
+    near-identity points above the MACs cut are excluded; dominance is
+    strict on at least one axis."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bsq", ROOT / "scripts" / "bench_search_quality.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    evolved = [{"fidelity_db": 30.0, "macs_T": 50.0}]
+    others = [
+        # dominated: worse fidelity at higher MACs
+        {"name": "a", "family": "f", "fidelity_db": 25.0, "macs_T": 60.0},
+        # undominated but near-identity: above the 95% cut -> excluded
+        {"name": "b", "family": "f", "fidelity_db": 45.0, "macs_T": 99.0},
+        # undominated, inside the useful region -> counted
+        {"name": "c", "family": "f", "fidelity_db": 35.0, "macs_T": 80.0},
+    ]
+    u = mod.dominance_in_useful_region(evolved, others, uncached_T=100.0)
+    assert u["n_excluded_near_identity"] == 1
+    assert u["per_family"]["f"]["n"] == 2
+    assert u["per_family"]["f"]["dominated"] == 1
+    assert u["overall_dominated_pct"] == 50.0
+    # equal point does NOT strictly dominate itself
+    eq = mod.dominance_stats(
+        evolved,
+        [{"name": "e", "family": "f", "fidelity_db": 30.0, "macs_T": 50.0}],
+    )
+    assert eq["f"]["dominated"] == 0
+
+
 def test_no_untagged_carried_rows():
     """The inverse direction (ADVICE r4): a section byte-identical to its
     r04 counterpart must CARRY the tag — a copied row without
