@@ -344,16 +344,28 @@ def main(dest: pathlib.Path | None = None) -> None:
     if "flux_12b_single_chip_batch_max" in sweep:
         sec["batch_max"] = sweep["flux_12b_single_chip_batch_max"]
     if isinstance(sec, dict) and "carried_from" not in sec:
-        sec["comment"] = (
+        # Section comment is built the same way as the headline: each
+        # sentence only when its evidence actually landed (the r4
+        # failure mode was a claim with no matching key).
+        comment = (
             "True 11.9B-param full-width FLUX.1-dev (dim 3072, 19 dual "
             "+ 38 single blocks) served from ONE 16 GiB v5e chip via "
             "int8 weight storage + float8 caches; the reference needs a "
-            "48 GB A6000. batch_max sweeps batch to the HBM limit with "
-            "per-batch XLA memory_analysis and a bucketed device-time "
-            "attribution of where per-image time grows past batch 4 "
-            "(VERDICT r4 #2). int8_w_static rows add calibrated static "
-            "activation scales (VERDICT r4 #5)."
+            "48 GB A6000."
         )
+        if "batch_max" in sec:
+            comment += (
+                " batch_max sweeps batch to the HBM limit with "
+                "per-batch XLA memory_analysis and a bucketed "
+                "device-time attribution of where per-image time grows "
+                "past batch 4 (VERDICT r4 #2)."
+            )
+        if any("int8_w_static" in k for k in sec):
+            comment += (
+                " int8_w_static rows add calibrated static activation "
+                "scales (VERDICT r4 #5)."
+            )
+        sec["comment"] = comment
     out["flux_full_width_12B_single_chip"] = sec
 
     # ---- full-width 1024 executed (FLUX1024_FULLDEPTH.json) ----
